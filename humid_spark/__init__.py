@@ -1,0 +1,26 @@
+"""humid_spark — a from-scratch PySpark-native web-scale near-duplicate
+detection + clustering engine with the query/data-processing capabilities of
+jfjlaros/HUMID (reference at /root/reference, read-only).
+
+NOT a port: the reference is a single-threaded C++ trie pipeline
+(scan -> fixed-length key -> exact-dup count -> Hamming/edit self-join ->
+greedy clustering -> filtered/annotated sinks + histograms, see
+reference src/humid.cc:369-409).  Here every stage is re-expressed as
+idiomatic Spark DataFrame operators:
+
+- trie insert/count        -> groupBy(key).agg(...)          (operators/exact.py)
+- trie asymmetricHamming   -> pigeonhole chunk-blocked join  (operators/blocking.py)
+- web-scale generalization -> MinHash/SimHash + LSH banding  (functions/signatures.py,
+                                                              operators/lsh.py)
+- greedy flood clustering  -> distributed connected components
+                              + exact per-component replay   (operators/cc.py,
+                                                              operators/directional.py)
+- sinks & histograms       -> DataFrame writes               (operators/stats.py,
+                                                              plans/pipeline.py)
+"""
+
+from humid_spark.config import DedupConfig
+from humid_spark.session import get_spark
+
+__all__ = ["DedupConfig", "get_spark"]
+__version__ = "0.1.0"

@@ -1,0 +1,104 @@
+"""Key construction — the reference's word-building projections (SURVEY.md §2.2)
+re-expressed as Catalyst column expressions (JVM-side, whole-stage-codegen;
+no Python in the hot path).
+
+Reference parity map:
+- extract_last_field  <- extractLastField (reference src/fastq.cc:192-199):
+  substring after the LAST separator, '' when the separator is absent.
+- valid_key_token     <- validUMI (src/fastq.cc:201-214): non-empty and all
+  chars in the alphabet.
+- extract_url_token   <- extractUMI_ (src/fastq.cc:72-93): token before first
+  space; last '_'-field if valid, else last ':'-field if valid, else ''.
+- cut_or_pad          <- makeStringSize_ (src/fastq.cc:57-66): force length n,
+  right-pad with pad char.
+- with_key_columns    <- makeWord (src/fastq.cc:146-161) + the usable flag
+  (word.filtered): pad char or out-of-alphabet char poisons the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from humid_spark.config import DedupConfig
+
+
+def extract_last_field(col: Column, sep: str) -> Column:
+    """Substring after the last `sep`; '' if `sep` does not occur.
+
+    Note: plain substring_index(col, sep, -1) returns the WHOLE string when
+    the separator is absent — the reference returns '' (src/fastq.cc:195-197),
+    so guard with instr().
+    """
+    return F.when(
+        F.instr(col, sep) > 0, F.substring_index(col, sep, -1)
+    ).otherwise(F.lit(""))
+
+
+def valid_key_token(col: Column, alphabet: str = "ACGT") -> Column:
+    """Non-empty and every char within `alphabet` (src/fastq.cc:201-214)."""
+    return (F.length(col) > 0) & col.rlike(f"^[{alphabet}]+$")
+
+
+def extract_url_token(url: Column, alphabet: str = "ACGT") -> Column:
+    """UMI-extraction analog over urls (src/fastq.cc:72-93).
+
+    Token before the first space; then last '_'-field when it is a valid
+    alphabet token, else last ':'-field when valid, else ''.
+    """
+    head = F.substring_index(url, " ", 1)
+    under = extract_last_field(head, "_")
+    colon = extract_last_field(head, ":")
+    return (
+        F.when(valid_key_token(under, alphabet), under)
+        .when(valid_key_token(colon, alphabet), colon)
+        .otherwise(F.lit(""))
+    )
+
+
+def cut_or_pad(col: Column, n: int, pad: str = "N") -> Column:
+    """Force string to length n: truncate or right-pad (src/fastq.cc:57-66)."""
+    return F.rpad(F.substring(col, 1, n), n, pad)
+
+
+def doc_order_column(ts: Column, url: Column) -> Column:
+    """Deterministic 'input order' stand-in: the reference consumes files
+    top-to-bottom; our table rows are ordered by (warc_ts, url).  Used for
+    first-in-input-order semantics (F2 emit, src/humid.cc:224-231)."""
+    return F.struct(ts.alias("ts"), url.alias("url"))
+
+
+def with_key_columns(df: DataFrame, cfg: DedupConfig, text_col: str = "text",
+                     url_col: str = "url") -> DataFrame:
+    """Append `key` (fixed-length) and `usable` columns.
+
+    Parity mode (cfg.alphabet set): the key window is cut-or-padded to
+    word_length; any pad char or out-of-alphabet char poisons the row
+    (usable=false), exactly like word.filtered (src/fastq.cc:151-159).
+    Padding uses cfg.pad_char which is outside the alphabet, so short texts
+    are unusable for free — same net semantics as the reference.
+
+    Engine mode (alphabet None): usable iff text is non-null and at least
+    word_length chars; key = first word_length chars.
+
+    With cfg.url_key_prefix, a valid url token contributes the key prefix and
+    the text contributes the remaining chars (preCompute analog,
+    src/humid.cc:38-59), with the token itself truncated to word_length when
+    longer.
+    """
+    n = cfg.word_length
+    text = F.col(text_col)
+    if cfg.url_key_prefix:
+        alpha = cfg.alphabet or "ACGT"
+        token = extract_url_token(F.col(url_col), alpha)
+        token = F.substring(token, 1, n)
+        key = cut_or_pad(F.concat(token, F.coalesce(text, F.lit(""))), n, cfg.pad_char)
+    else:
+        key = cut_or_pad(F.coalesce(text, F.lit("")), n, cfg.pad_char)
+
+    if cfg.alphabet is not None:
+        usable = key.rlike(f"^[{cfg.alphabet}]{{{n}}}$")
+    else:
+        usable = text.isNotNull() & (F.length(text) >= n)
+
+    return df.withColumn("key", key).withColumn("usable", usable)

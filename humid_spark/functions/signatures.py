@@ -1,0 +1,188 @@
+"""MinHash / SimHash signatures — the web-scale generalization of the
+reference's fixed-length word key (SURVEY.md §2.13).
+
+Two implementations, both from scratch (no pyspark.ml.feature.MinHashLSH):
+
+1. Fast engine path (`make_minhash_udf` / `make_simhash_udf`): vectorized
+   pandas UDFs — Arrow batches in, numpy per batch, zero per-row Python
+   objects in the steady state.  Char shingles are hashed with a polynomial
+   rolling hash mod the Mersenne prime 2^31-1, then k universal-hash
+   permutations (a_j*h+b_j mod p) are minimized per doc.  This is the path
+   bench.py measures.
+
+2. SQL parity path (`minhash_sql_*`, `simhash_sql_*`): the same math as
+   built-in Catalyst expressions (md5-derived shingle hashes), with a
+   character-identical DuckDB formulation — used by __spark_entry__
+   queries()/oracle_sql() so the driver can verify signature values
+   engine-vs-oracle exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+P31 = (1 << 31) - 1  # Mersenne prime 2^31-1
+_BASE = 131
+
+
+def _coeffs(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, P31, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, P31, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Unique 31-bit polynomial hashes of all byte k-shingles of `text`."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(data) < k:
+        return np.empty(0, dtype=np.int64)
+    powers = np.empty(k, dtype=np.int64)
+    p = 1
+    for i in range(k - 1, -1, -1):
+        powers[i] = p
+        p = (p * _BASE) % P31
+    windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.int64)
+    return np.unique((windows @ powers) % P31)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64-style avalanche: 31-bit shingle hashes -> uint64."""
+    z = h.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def minhash_signature(text: str | None, k: int, a: np.ndarray, b: np.ndarray) -> list[int]:
+    if not text:
+        return [P31] * len(a)
+    sh = shingle_hashes(text, k)
+    if sh.size == 0:
+        return [P31] * len(a)
+    # (num_perm, n_shingles) universal hashes, min per row
+    sig = ((a[:, None] * sh[None, :]) % P31 + b[:, None]) % P31
+    return sig.min(axis=1).tolist()
+
+
+def simhash64(text: str | None, k: int) -> int:
+    if not text:
+        return 0
+    sh = shingle_hashes(text, k)
+    if sh.size == 0:
+        return 0
+    mixed = _mix64(sh)
+    bits = np.unpackbits(mixed.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    votes = bits.sum(axis=0) * 2 - len(mixed)  # (+1/-1 majority per bit)
+    word = np.packbits(votes > 0, bitorder="little").view(np.uint64)[0]
+    return int(word.astype(np.int64))  # wrap to signed for LongType
+
+
+def make_minhash_udf(shingle_k: int, num_perm: int, seed: int = 42):
+    a, b = _coeffs(num_perm, seed)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def minhash_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: minhash_signature(t, shingle_k, a, b))
+
+    return minhash_udf
+
+
+def make_simhash_udf(shingle_k: int):
+    @pandas_udf(T.LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: simhash64(t, shingle_k))
+
+    return simhash_udf
+
+
+def est_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """MinHash Jaccard estimate: fraction of agreeing signature slots
+    (JVM-side array expression, no UDF)."""
+    agree = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return agree / F.size(sig_a)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Bit Hamming distance between two 64-bit SimHashes (JVM-side)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# SQL parity path: identical formulas in Spark Column land and DuckDB SQL.
+# Shingle hash: first 14 hex chars of md5 (56 bits, positive in int64) mod p.
+# Permutation j: ((2j+1)*2654435761 + j*40503 + 7) coefficients mod p.
+# ---------------------------------------------------------------------------
+
+def _sql_perm_coeffs(num_perm: int) -> list[tuple[int, int]]:
+    return [
+        (((2 * j + 1) * 2654435761) % P31, (j * 40503 + 7) % P31)
+        for j in range(num_perm)
+    ]
+
+
+def minhash_sql_spark(text_col: str, k: int, num_perm: int) -> Column:
+    """MinHash as pure built-in expressions (scales via codegen; used for
+    oracle-checked queries)."""
+    shingles = (
+        f"transform(sequence(1, greatest(1, length({text_col}) - {k - 1})),"
+        f" i -> cast(conv(substr(md5(substring({text_col}, i, {k})), 1, 14), 16, 10) as bigint) % {P31})"
+    )
+    mins = ", ".join(
+        f"array_min(transform(sh, h -> ((h * {a}L) % {P31} + {b}L) % {P31}))"
+        for a, b in _sql_perm_coeffs(num_perm)
+    )
+    return F.expr(
+        f"with_shingles(array({mins}))"
+    ) if False else F.expr(
+        # bind the shingle array once via a lateral-free trick: transform over
+        # a 1-element array to create a local scope
+        f"transform(array({shingles}), sh -> array({mins}))[0]"
+    )
+
+
+def minhash_sql_duckdb(text_col: str, k: int, num_perm: int) -> str:
+    shingles = (
+        f"list_transform(generate_series(1, greatest(1, length({text_col}) - {k - 1})),"
+        f" i -> cast(('0x' || substr(md5(substring({text_col}, i, {k})), 1, 14)) as bigint) % {P31})"
+    )
+    mins = ", ".join(
+        f"list_min(list_transform(sh, h -> ((h * {a}) % {P31} + {b}) % {P31}))"
+        for a, b in _sql_perm_coeffs(num_perm)
+    )
+    return f"list_transform([{shingles}], sh -> [{mins}])[1]"
+
+
+def simhash_sql_spark(text_col: str, k: int, bits: int = 16) -> Column:
+    """SimHash over the same md5 shingle hashes; `bits` low bits only so the
+    SQL oracle stays cheap (the engine path does the full 64)."""
+    shingles = (
+        f"transform(sequence(1, greatest(1, length({text_col}) - {k - 1})),"
+        f" i -> cast(conv(substr(md5(substring({text_col}, i, {k})), 1, 14), 16, 10) as bigint) % {P31})"
+    )
+    bit_terms = " + ".join(
+        f"(case when aggregate(sh, 0L, (acc, h) -> acc + (case when (h div {1 << i}) % 2 = 1 then 1 else -1 end)) > 0 then {1 << i}L else 0L end)"
+        for i in range(bits)
+    )
+    return F.expr(f"transform(array({shingles}), sh -> {bit_terms})[0]")
+
+
+def simhash_sql_duckdb(text_col: str, k: int, bits: int = 16) -> str:
+    shingles = (
+        f"list_transform(generate_series(1, greatest(1, length({text_col}) - {k - 1})),"
+        f" i -> cast(('0x' || substr(md5(substring({text_col}, i, {k})), 1, 14)) as bigint) % {P31})"
+    )
+    bit_terms = " + ".join(
+        f"(case when list_sum(list_transform(sh, h -> (case when (h // {1 << i}) % 2 = 1 then 1 else -1 end))) > 0 then {1 << i} else 0 end)"
+        for i in range(bits)
+    )
+    return f"list_transform([{shingles}], sh -> {bit_terms})[1]"

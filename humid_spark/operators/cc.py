@@ -1,0 +1,107 @@
+"""Distributed connected components (G1) — large-star / small-star.
+
+Reference: recursive C-stack flood fill (src/cluster.cc:58-80), which
+overflows on huge clusters (docs/troubleshooting.rst:6-18).  We replace it
+with the alternating large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", public literature):
+O(log n) rounds, each round two shuffles, converging to star graphs whose
+root is the component minimum.  Every round runs `localCheckpoint` to cut
+the growing lineage (the reference's stack depth problem re-expressed —
+and solved — in Spark terms).
+
+Works over any orderable node type (string keys in parity mode, long doc
+ids in the web-scale LSH path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u, connect all strictly-larger neighbours to the
+    minimum of N(u) ∪ {u}."""
+    both = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = both.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.withColumn("m", F.least(F.col("mn"), F.col("src"))).drop("mn")
+    return (
+        both.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high->low, then connect all neighbours (and u itself)
+    to the minimum of the low neighbourhood."""
+    oriented = edges.select(
+        F.greatest(F.col("src"), F.col("dst")).alias("src"),
+        F.least(F.col("src"), F.col("dst")).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    joined = oriented.join(mins, "src")
+    out = joined.select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    ).union(mins.select(F.col("src").alias("src"), F.col("m").alias("dst")))
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64(F.col("src"), F.col("dst"))), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """edges: (src, dst) — undirected, any orientation, self-loops ignored.
+
+    Returns (node, component) for every node appearing in `edges`, where
+    component = min node id of its component.  Isolated nodes don't appear
+    (callers left-join and default component := own id).
+    """
+    cur = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_fp: tuple[int, int] | None = None
+    for _ in range(max_rounds):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        fp = _fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # Converged: edges are (member -> root) stars. Roots map to themselves.
+    members = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = cur.select(F.col("dst").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return members.union(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+
+
+def assign_components(uniq: DataFrame, pairs: DataFrame) -> DataFrame:
+    """uniq(key, ...) + once-per-pair edges(src,dst) -> uniq + `component`.
+
+    Isolated keys become their own singleton component.
+    """
+    comp = connected_components(pairs)
+    return (
+        uniq.join(comp, uniq["key"] == comp["node"], "left")
+        .drop("node")
+        .withColumn("component", F.coalesce(F.col("component"), F.col("key")))
+    )

@@ -1,0 +1,90 @@
+"""End-to-end parity pipeline: the reference's one hard-coded plan
+(humid(), src/humid.cc:369-409) as a DataFrame dataflow.
+
+    pages -> keys/usable -> unique counts -> Hamming/edit pair join
+          -> components + exact greedy replay -> cluster ids
+          -> annotated / dedup sinks + histograms + scalar stats
+
+All intermediate DataFrames are exposed on the result object so tests,
+`__spark_entry__.queries()` and bench.py reuse the same plan fragments.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from humid_spark.config import DedupConfig
+from humid_spark.functions.keys import with_key_columns
+from humid_spark.operators import blocking, exact, stats
+from humid_spark.operators.directional import cluster_keys
+
+
+@dataclass
+class DedupResult:
+    keyed: DataFrame        # pages + key + usable
+    uniq: DataFrame         # key, count, first_ts, first_url
+    pairs: DataFrame        # src, dst (once per unordered pair)
+    clusters: DataFrame     # per-key cluster assignment + cluster fields
+    annotated: DataFrame    # pages + cluster_id (0 = unusable)  [K2]
+    dedup: DataFrame        # representative rows only            [K1]
+    reps: DataFrame         # cluster_id -> representative url
+    count_hist: DataFrame   # counts.dat                          [A4]
+    neigh_hist: DataFrame   # neigh.dat                           [A5]
+    cluster_hist: DataFrame # clusters.dat                        [A6]
+    stats: DataFrame        # stats.dat scalars                   [A7]
+
+
+def neighbour_pairs(uniq: DataFrame, cfg: DedupConfig) -> DataFrame:
+    if cfg.use_edit:
+        return blocking.edit_pairs(uniq, cfg.word_length, cfg.mismatches)
+    return blocking.hamming_pairs(uniq, cfg.word_length, cfg.mismatches)
+
+
+def run_pipeline(pages: DataFrame, cfg: DedupConfig) -> DedupResult:
+    keyed = with_key_columns(pages, cfg)
+    uniq = exact.unique_keys(keyed)
+    pairs = neighbour_pairs(uniq, cfg)
+    clusters = cluster_keys(
+        uniq, pairs, maximum=cfg.max_clustering,
+        max_component_nodes=cfg.max_component_edges,
+    )
+
+    key_to_cluster = clusters.select("key", "cluster_id", "max_key")
+
+    # K2 annotate: every input row; unusable rows get the reserved id 0
+    # (src/humid.cc:271-277).  The key->cluster map is |unique keys| rows —
+    # broadcast when small, shuffle join otherwise; AQE decides.
+    annotated = (
+        keyed.join(key_to_cluster.select("key", "cluster_id"), "key", "left")
+        .withColumn(
+            "cluster_id",
+            F.when(F.col("usable"), F.col("cluster_id")).otherwise(F.lit(0)),
+        )
+        .select("url", "warc_ts", "html", "text", "lang", "key", "usable",
+                "cluster_id")
+    )
+
+    reps = stats.representatives(keyed, clusters)
+
+    # K1 dedup: keep exactly the representative rows (left-semi join —
+    # the anti-join *effect* of the reference's visited-flag emit).
+    dedup = keyed.join(
+        reps.select("url"), "url", "semi"
+    ).select("url", "warc_ts", "html", "text", "lang")
+
+    return DedupResult(
+        keyed=keyed,
+        uniq=uniq,
+        pairs=pairs,
+        clusters=clusters,
+        annotated=annotated,
+        dedup=dedup,
+        reps=reps,
+        count_hist=stats.count_histogram(uniq),
+        neigh_hist=stats.neighbour_histogram(uniq, pairs),
+        cluster_hist=stats.cluster_histogram(clusters),
+        stats=stats.scalar_stats(keyed, uniq, clusters),
+    )

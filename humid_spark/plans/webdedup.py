@@ -1,0 +1,125 @@
+"""Web-scale near-dup pipeline (engine mode): MinHash + LSH + CC.
+
+The parity pipeline (plans/pipeline.py) IS HUMID on a table; this plan is
+the same dataflow generalized to Common-Crawl-style text:
+
+  pages
+   -> doc ids + usable flag                          [narrow]
+   -> exact-dup collapse on full-text hash           [shuffle 1]
+      (the trie's exact-duplicate counting, A1 — identical texts become ONE
+       node, so a 10^6-copy boilerplate page costs one signature)
+   -> MinHash signatures (vectorized pandas UDF)     [narrow, Arrow]
+   -> LSH bands -> capped buckets -> candidate pairs [shuffle 2, skew-capped]
+   -> signature-verify est_jaccard >= threshold      [shuffle 3]
+   -> connected components over doc-pair edges       [O(log n) rounds]
+   -> cluster ids + representatives -> sinks         [shuffle 4]
+
+Scale notes (100 TB / 1000 executors): every stage is a hash shuffle on
+uniformly-hashed keys (doc_id = xxhash64(url), band buckets are 64-bit
+hashes); the only stateful structure is the |unique texts| signature table —
+the same "trie is the only resident state" shape as the reference
+(SURVEY.md §1.2), now horizontally partitioned.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from humid_spark.config import DedupConfig
+from humid_spark.functions.signatures import make_minhash_udf
+from humid_spark.operators import lsh
+from humid_spark.operators.cc import connected_components
+
+
+@dataclass
+class WebDedupResult:
+    docs: DataFrame        # url, warc_ts, text, lang, doc_id, usable
+    uniq: DataFrame        # text_hash, count, first (doc_id), text
+    sigs: DataFrame        # doc_id(=first of exact group), minhash
+    pairs: DataFrame       # verified near-dup pairs (src, dst, est_jaccard)
+    clusters: DataFrame    # doc_id -> cluster_id (over ALL usable docs)
+    annotated: DataFrame   # pages + cluster_id (0 = unusable)
+    dedup: DataFrame       # one representative row per cluster
+    demoted: DataFrame     # capped hot buckets (lineage)
+
+
+def run_web_pipeline(pages: DataFrame, cfg: DedupConfig) -> WebDedupResult:
+    min_len = max(cfg.shingle_k, 1)
+    docs = (
+        pages.withColumn("doc_id", F.xxhash64(F.col("url")))
+        .withColumn(
+            "usable",
+            F.col("text").isNotNull() & (F.length("text") >= min_len),
+        )
+    )
+
+    # Exact-duplicate collapse (A1): one signature per distinct text.
+    # group id = min doc_id of the exact group (deterministic).
+    usable = docs.filter(F.col("usable"))
+    uniq = (
+        usable.withColumn("text_hash", F.xxhash64(F.col("text")))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.min("doc_id").alias("rep_doc_id"),
+            F.first("text").alias("text"),
+        )
+    )
+
+    minhash_udf = make_minhash_udf(cfg.shingle_k, cfg.num_perm)
+    sigs = uniq.select(
+        F.col("rep_doc_id").alias("doc_id"),
+        minhash_udf(F.col("text")).alias("minhash"),
+    ).localCheckpoint(eager=False)
+
+    buckets = lsh.band_buckets(sigs, cfg)
+    cand = lsh.candidate_pairs(buckets, cfg)
+    pairs = lsh.verify_pairs(cand, sigs, cfg)
+    demoted = lsh.demoted_buckets(buckets, cfg)
+
+    # Components over unique-text representatives...
+    comp = connected_components(pairs.select("src", "dst"))
+    rep_cluster = (
+        sigs.select("doc_id")
+        .join(comp, sigs["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    # ...then fanned back out to every usable doc through the exact groups.
+    doc_to_rep = usable.withColumn(
+        "text_hash", F.xxhash64(F.col("text"))
+    ).join(
+        uniq.select("text_hash", "rep_doc_id"), "text_hash"
+    ).select("doc_id", "url", "warc_ts", "text", "lang", "rep_doc_id")
+    clusters = doc_to_rep.join(
+        rep_cluster.withColumnRenamed("doc_id", "rep_doc_id"), "rep_doc_id"
+    )
+
+    annotated = (
+        docs.join(clusters.select("doc_id", "cluster_id"), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.lit(0)))
+        .select("url", "warc_ts", "html", "text", "lang", "doc_id",
+                "usable", "cluster_id")
+    )
+
+    # Representative = first (warc_ts, url) in the cluster — the reference's
+    # first-in-input-order emit (F2) without the count climb (web mode has
+    # no UMI-count semantics; exact-dup multiplicity is carried in `count`).
+    reps = (
+        clusters.groupBy("cluster_id")
+        .agg(F.min(F.struct("warc_ts", "url")).alias("first"))
+        .select("cluster_id", F.col("first.url").alias("url"))
+    )
+    dedup = docs.join(reps.select("url"), "url", "semi").select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+
+    return WebDedupResult(
+        docs=docs, uniq=uniq, sigs=sigs, pairs=pairs, clusters=clusters,
+        annotated=annotated, dedup=dedup, demoted=demoted,
+    )

@@ -9,8 +9,28 @@ cluster (AQE on, skew-join on, Arrow on, sane shuffle partitioning).
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def _package_zip() -> str:
+    """Zip the humid_spark package for shipment to Python workers — the
+    local-mode equivalent of `spark-submit --py-files humid_spark.zip`
+    (north_rule launch shape).  Without it, executors unpickle pandas UDFs
+    that reference this module and fail with ModuleNotFoundError whenever
+    the driver wasn't started from the repo root."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    out = os.path.join(tempfile.gettempdir(), "humid_spark_pyfiles.zip")
+    with zipfile.ZipFile(out, "w") as zf:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    zf.write(full, os.path.relpath(full, root))
+    return out
 
 
 def get_spark(
@@ -39,4 +59,6 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    spark.sparkContext.addPyFile(_package_zip())
+    return spark

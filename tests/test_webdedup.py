@@ -1,0 +1,126 @@
+"""Engine-mode pipeline: MinHash/LSH/CC on realistic web-text fixtures.
+
+Ground truth is computed honestly in-process: true char-shingle Jaccard over
+the same shingle space the engine hashes.  The BASELINE.json metric is
+dup-pair recall >= 0.99; we assert it on fx_webtext for pairs at J >= 0.9
+(the fixture's near-dup tier) and near-zero false merges at J < 0.3.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from humid_spark.config import DedupConfig
+from humid_spark.functions.signatures import shingle_hashes
+from humid_spark.plans.webdedup import run_web_pipeline
+from humid_spark.sources import pages as fx
+from humid_spark.sources.pages import to_spark
+
+CFG = DedupConfig(jaccard_threshold=0.8)
+
+
+def _true_jaccard_pairs(rows, k, hi=0.9, lo=0.3):
+    sh = {
+        r["url"]: set(shingle_hashes(r["text"], k).tolist())
+        for r in rows
+        if r["text"] and len(r["text"]) >= k
+    }
+    dup, far = set(), set()
+    for (ua, sa), (ub, sb) in itertools.combinations(sh.items(), 2):
+        inter = len(sa & sb)
+        if not inter:
+            continue
+        j = inter / len(sa | sb)
+        pair = (min(ua, ub), max(ua, ub))
+        if j >= hi:
+            dup.add(pair)
+        elif j >= lo:
+            far.add(pair)  # gray zone: ignored either way
+    return dup, far
+
+
+@pytest.fixture(scope="module")
+def webtext_result(spark):
+    rows = fx.fx_webtext(n_seeds=60)
+    result = run_web_pipeline(to_spark(spark, rows), CFG)
+    cluster_of = {
+        r["url"]: r["cluster_id"] for r in result.annotated.collect()
+    }
+    return rows, result, cluster_of
+
+
+def test_webtext_recall(webtext_result):
+    rows, _result, cluster_of = webtext_result
+    dup, _ = _true_jaccard_pairs(rows, CFG.shingle_k)
+    assert dup, "fixture must contain near-dup pairs"
+    hit = sum(1 for a, b in dup if cluster_of[a] == cluster_of[b])
+    recall = hit / len(dup)
+    assert recall >= 0.99, f"dup-pair recall {recall:.4f} < 0.99 ({hit}/{len(dup)})"
+
+
+def test_webtext_no_false_merges(webtext_result):
+    rows, _result, cluster_of = webtext_result
+    sh = {
+        r["url"]: set(shingle_hashes(r["text"], CFG.shingle_k).tolist())
+        for r in rows
+    }
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for u, c in cluster_of.items():
+        if c != 0:
+            groups[c].append(u)
+    bad = 0
+    checked = 0
+    for us in groups.values():
+        for a, b in itertools.combinations(us, 2):
+            inter = len(sh[a] & sh[b])
+            j = inter / len(sh[a] | sh[b]) if (sh[a] or sh[b]) else 1.0
+            checked += 1
+            if j < 0.3:
+                bad += 1
+    assert bad == 0, f"{bad}/{checked} same-cluster pairs have true J < 0.3"
+
+
+def test_webtext_exact_dups_single_cluster(webtext_result):
+    rows, _result, cluster_of = webtext_result
+    by_text = {}
+    for r in rows:
+        by_text.setdefault(r["text"], []).append(r["url"])
+    for urls in by_text.values():
+        cids = {cluster_of[u] for u in urls}
+        assert len(cids) == 1, f"exact dups split across clusters: {urls}"
+
+
+def test_skew_mega_cluster_and_caps(spark):
+    rows = fx.fx_skew()
+    cfg = DedupConfig(jaccard_threshold=0.8, bucket_cap=500)
+    result = run_web_pipeline(to_spark(spark, rows), cfg)
+    annotated = {r["url"]: r for r in result.annotated.collect()}
+
+    # 1000 byte-identical rows -> exactly one cluster id
+    mega = {r["cluster_id"] for u, r in annotated.items() if "/mega/" in u}
+    assert len(mega) == 1
+
+    # the dedup output keeps exactly one of them: the smallest (warc_ts, url)
+    dedup_urls = {r["url"] for r in result.dedup.collect()}
+    mega_urls = sorted(
+        (annotated[u]["warc_ts"], u) for u in annotated if "/mega/" in u
+    )
+    assert mega_urls[0][1] in dedup_urls
+    assert sum(1 for u in dedup_urls if "/mega/" in u) == 1
+
+    # boilerplate-footer rows must NOT merge (full-text Jaccard is low):
+    # no giant cluster swallowing them
+    from collections import Counter
+
+    boiler_counts = Counter(
+        annotated[u]["cluster_id"] for u in annotated if "/boiler" in u
+    )
+    assert boiler_counts.most_common(1)[0][1] <= 5
+
+    # unusable edge rows: empty text and len < k get cluster 0
+    assert annotated[[u for u in annotated if "/len0/" in u][0]]["cluster_id"] == 0
+    assert annotated[[u for u in annotated if "/len1/" in u][0]]["cluster_id"] == 0

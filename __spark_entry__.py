@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is an implemented operator from SURVEY.md §2
+(or a training-data-pipeline extension), expressed through the engine's own
+operator library (humid_spark.*); ``oracle_sql()`` gives an independent
+ANSI-SQL formulation DuckDB executes over the same parquet tables.
+
+Key-space convention for the dedup operators: the HUMID word analog over the
+``documents`` table is key = first 24 chars of ``text`` (reference word
+length n=24, src/humid.cc:419), usable = length(text) >= 24, doc order =
+doc_id.  Hamming/edit neighbour distance m=1 (src/humid.cc:420).
 """
 
 from __future__ import annotations
@@ -12,27 +16,622 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+N = 24  # reference word length (src/humid.cc:419)
+P31 = (1 << 31) - 1
+MH_K = 5       # shingle size for the SQL-parity signature queries
+MH_PERMS = 8   # perms for the SQL-parity signature queries (engine uses 128)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _doc_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, key, usable): the with_key_columns analog for
+    the driver's documents table (no padding needed for the oracle pair —
+    usable rows always have >= N chars)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, N).alias("key"),
+        (F.col("text").isNotNull() & (F.length("text") >= N)).alias("usable"),
+    )
+
+
+def _uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 exact-dup counting (humid_spark.operators.exact semantics)."""
+    return (
+        _doc_keys(spark, sf_dir)
+        .filter("usable")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("first_doc_id"))
+    )
+
+
+_SQL_KEYS = (
+    "SELECT doc_id, substr(text, 1, 24) AS key FROM documents "
+    "WHERE text IS NOT NULL AND length(text) >= 24"
+)
+_SQL_UNIQ = (
+    f"SELECT key, count(*) AS cnt, min(doc_id) AS first_doc_id "
+    f"FROM ({_SQL_KEYS}) GROUP BY key"
+)
+_SQL_EDGES_H1 = (
+    f"SELECT a.key AS src, b.key AS dst "
+    f"FROM (SELECT DISTINCT key FROM ({_SQL_KEYS})) a "
+    f"JOIN (SELECT DISTINCT key FROM ({_SQL_KEYS})) b "
+    f"ON a.key < b.key AND hamming(a.key, b.key) <= 1"
+)
+# min-reachable-key connected components as a recursive CTE
+_SQL_CC = f"""
+WITH RECURSIVE
+uk AS (SELECT DISTINCT key FROM ({_SQL_KEYS})),
+edges AS (
+  SELECT a.key AS src, b.key AS dst FROM uk a JOIN uk b
+  ON a.key <> b.key AND hamming(a.key, b.key) <= 1
+),
+reach(key, comp) AS (
+  SELECT key, key FROM uk
+  UNION
+  SELECT e.src, r.comp FROM reach r JOIN edges e ON e.dst = r.key
+)
+SELECT key, min(comp) AS component FROM reach GROUP BY key
+"""
+
+
+def _pairs_h1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from humid_spark.operators.blocking import hamming_pairs
+
+    return hamming_pairs(_uniq(spark, sf_dir).select("key"), N, 1)
+
+
+def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from humid_spark.operators.cc import assign_components
+
+    uniq = _uniq(spark, sf_dir)
+    return assign_components(uniq, _pairs_h1(spark, sf_dir))
+
+
+def _sig_sql_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from humid_spark.functions.signatures import minhash_sql_spark
+
+    sig = minhash_sql_spark("text", MH_K, MH_PERMS)
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", sig.alias("sig")
+    )
+    cols = [F.col("sig").getItem(j).alias(f"h{j}") for j in range(MH_PERMS)]
+    return df.select("doc_id", *cols)
+
+
+def _sig_sql_duck() -> str:
+    from humid_spark.functions.signatures import minhash_sql_duckdb
+
+    arr = minhash_sql_duckdb("text", MH_K, MH_PERMS)
+    cols = ", ".join(f"sig[{j + 1}] AS h{j}" for j in range(MH_PERMS))
+    return (
+        f"SELECT doc_id, {cols} FROM "
+        f"(SELECT doc_id, {arr} AS sig FROM documents)"
+    )
+
+
+def _band_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _sig_sql_spark(spark, sf_dir)
+    outs = []
+    for b in range(MH_PERMS // 2):
+        h0, h1 = f"h{2 * b}", f"h{2 * b + 1}"
+        a = sigs.select(F.col("doc_id").alias("src"), h0, h1)
+        c = sigs.select(F.col("doc_id").alias("dst"), h0, h1)
+        outs.append(
+            a.join(c, [h0, h1]).filter(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+        )
+    pairs = outs[0]
+    for o in outs[1:]:
+        pairs = pairs.union(o)
+    return pairs.distinct()
+
+
+def _band_join_duck() -> str:
+    bands = " OR ".join(
+        f"(a.h{2 * b} = b.h{2 * b} AND a.h{2 * b + 1} = b.h{2 * b + 1})"
+        for b in range(MH_PERMS // 2)
+    )
+    return (
+        f"SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst "
+        f"FROM ({_sig_sql_duck()}) a JOIN ({_sig_sql_duck()}) b "
+        f"ON a.doc_id < b.doc_id AND ({bands})"
+    )
+
+
+_SQL_SHINGLES = (
+    f"SELECT doc_id, list_distinct(list_transform("
+    f"generate_series(1, greatest(1, length(text) - {MH_K - 1})), "
+    f"i -> cast(('0x' || substr(md5(substring(text, i, {MH_K})), 1, 14)) as bigint) % {P31}"
+    f")) AS sh FROM documents WHERE text IS NOT NULL"
+)
+
+
+def _shingle_sets_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(1, length(text) - {MH_K - 1})), "
+        f"i -> cast(conv(substr(md5(substring(text, i, {MH_K})), 1, 14), 16, 10) as bigint) % {P31}"
+        f"))"
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(sh).alias("sh")
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry / queries / oracle_sql
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: web-scale near-dup clustering of documents at sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    comps = _components(spark, sf_dir)
+    return (
+        _doc_keys(spark, sf_dir)
+        .join(comps.select("key", "component"), "key", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.lit("")).alias("cluster"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- A1: exact-dup counting (the trie insert) ---
+    q["exact_dup_counts"] = lambda s, d: _uniq(s, d)
+
+    # --- A4: count histogram (counts.dat) ---
+    q["count_histogram"] = lambda s, d: (
+        _uniq(s, d).groupBy(F.col("cnt").alias("multiplicity"))
+        .agg(F.count(F.lit(1)).alias("frequency"))
+    )
+
+    # --- J1: Hamming-1 self-join via pigeonhole chunk blocking ---
+    q["hamming1_pairs"] = lambda s, d: _pairs_h1(s, d)
+
+    # --- J2: edit-distance-1 self-join (PassJoin-style shifts) ---
+    def edit1(s, d):
+        from humid_spark.operators.blocking import edit_pairs
+
+        return edit_pairs(_uniq(s, d).select("key"), N, 1)
+
+    q["edit1_pairs"] = edit1
+
+    # --- A5: neighbour histogram (neigh.dat), zero-degree keys included ---
+    def neigh_hist(s, d):
+        from humid_spark.operators.stats import neighbour_histogram
+
+        return neighbour_histogram(_uniq(s, d), _pairs_h1(s, d))
+
+    q["neighbour_histogram"] = neigh_hist
+
+    # --- G1: connected components (large-star/small-star) ---
+    q["components"] = lambda s, d: _components(s, d).select("key", "component")
+
+    # --- A6: cluster size histogram (sum of member counts per component) ---
+    q["cluster_size_histogram"] = lambda s, d: (
+        _components(s, d)
+        .groupBy("component")
+        .agg(F.sum("cnt").alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("frequency"))
+    )
+
+    # --- A8: per-cluster argmax representative (max count, tie: min key).
+    # min(struct(-cnt, key)) is an exact argmax with deterministic tie-break,
+    # computed as one hash aggregate (no window, no extra shuffle). ---
+    def _best(c):
+        return c.groupBy("component").agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg_cnt"), F.col("key").alias("key")
+                )
+            ).alias("b")
+        )
+
+    def reps(s, d):
+        best = _best(_components(s, d))
+        return best.select(
+            "component",
+            F.col("b.key").alias("rep_key"),
+            (-F.col("b.neg_cnt")).cast("long").alias("rep_cnt"),
+        )
+
+    q["representatives"] = reps
+
+    # --- K1: dedup output (first doc of the representative key) ---
+    def dedup_keep(s, d):
+        c = _components(s, d)
+        best = _best(c).select(
+            F.col("component").alias("bcomponent"), F.col("b.key").alias("rep_key")
+        )
+        return (
+            c.join(
+                best,
+                (c["component"] == best["bcomponent"]) & (c["key"] == best["rep_key"]),
+            )
+            .select(F.col("first_doc_id").alias("doc_id"))
+        )
+
+    q["dedup_keep"] = dedup_keep
+
+    # --- K2/J3: annotate every doc with its cluster (point-lookup join) ---
+    def annotate(s, d):
+        comps = _components(s, d).select("key", "component")
+        return (
+            _doc_keys(s, d)
+            .join(comps, "key", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("usable"), F.col("component"))
+                .otherwise(F.lit("")).alias("cluster"),
+            )
+        )
+
+    q["annotate"] = annotate
+
+    # --- A7: scalar stats ---
+    def scalar_stats(s, d):
+        keys = _doc_keys(s, d)
+        return keys.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count_if(F.col("usable")).alias("usable"),
+            F.count_distinct(F.when(F.col("usable"), F.col("key"))).alias("unique"),
+        )
+
+    q["scalar_stats"] = scalar_stats
+
+    # --- signatures: SQL-parity MinHash + SimHash ---
+    q["minhash_signatures"] = lambda s, d: _sig_sql_spark(s, d)
+
+    def simhash_q(s, d):
+        from humid_spark.functions.signatures import simhash_sql_spark
+
+        return _t(s, d, "documents").select(
+            "doc_id", simhash_sql_spark("text", MH_K).alias("simhash16")
+        )
+
+    q["simhash_signatures"] = simhash_q
+
+    # --- LSH band join on the SQL-parity signatures ---
+    q["lsh_band_pairs"] = lambda s, d: _band_join_spark(s, d)
+
+    # --- exact n-gram Jaccard verification on banded candidates ---
+    def jaccard(s, d):
+        pairs = _band_join_spark(s, d)
+        sh = _shingle_sets_spark(s, d)
+        a = sh.select(F.col("doc_id").alias("src"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("doc_id").alias("dst"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        return (
+            pairs.join(a, "src").join(b, "dst")
+            .select(
+                "src", "dst",
+                F.floor(inter * 1000 / union).cast("long").alias("jaccard_permille"),
+            )
+        )
+
+    q["ngram_jaccard_pairs"] = jaccard
+
+    # --- text analytics ---
+    def text_stats(s, d):
+        from humid_spark.functions import textstats as ts
+
+        t = F.col("text")
+        return _t(s, d, "documents").select(
+            "doc_id",
+            ts.token_count(t).cast("long").alias("tokens"),
+            ts.token_estimate(t).alias("token_est"),
+            ts.punct_permille(t).alias("punct_permille"),
+            ts.stopword_permille(t).alias("stopword_permille"),
+        )
+
+    q["text_stats"] = text_stats
+
+    def quality_counts(s, d):
+        from humid_spark.functions import textstats as ts
+
+        return (
+            _t(s, d, "documents")
+            .groupBy(ts.quality_class(F.col("text")).alias("quality"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["quality_class_counts"] = quality_counts
+
+    def lang_counts(s, d):
+        from humid_spark.functions import textstats as ts
+
+        return (
+            _t(s, d, "documents")
+            .groupBy(
+                F.col("lang"), ts.lang_guess(F.col("text")).alias("lang_guess")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["lang_guess_counts"] = lang_counts
+
+    def fp_dups(s, d):
+        from humid_spark.functions import textstats as ts
+
+        return (
+            _t(s, d, "documents")
+            .groupBy(ts.fingerprint(F.col("text")).alias("fp"))
+            .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_doc_id"))
+        )
+
+    q["fingerprint_exact_dups"] = fp_dups
+
+    # --- relational coverage (agg / join / window over TPC-H-ish tables) ---
+    def pricing(s, d):
+        li = _t(s, d, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                # decimal sums are exact -> bit-identical across engines
+                F.sum(F.col("l_quantity").cast("decimal(20,2)"))
+                .cast("double").alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(20,2)"))
+                .cast("double").alias("sum_base_price"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    q["pricing_summary"] = pricing
+
+    def top_customers(s, d):
+        o = _t(s, d, "orders")
+        c = _t(s, d, "customer")
+        agg = o.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        return (
+            agg.join(c, agg["o_custkey"] == c["c_custkey"])
+            .filter(F.col("order_count") >= 12)
+            .select(
+                F.col("c_custkey").alias("custkey"),
+                F.col("c_name").alias("name"),
+                "order_count",
+            )
+        )
+
+    q["top_customers"] = top_customers
+
+    def events_daily(s, d):
+        e = _t(s, d, "events")
+        return (
+            e.groupBy(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                # integer-ize per row BEFORE summing: float-sum ordering is
+                # engine-dependent, integer sums are exact
+                F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("value_millis"),
+            )
+        )
+
+    q["events_daily"] = events_daily
+
+    # --- similarity search: exact brute-force cosine top-k (strict
+    #     left-to-right double summation -> engine-reproducible ranks) ---
+    def ann_topk(s, d):
+        from humid_spark.operators.ann import cosine_topk
+
+        emb = _t(s, d, "embeddings")
+        return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+    q["ann_cosine_topk"] = ann_topk
+
+    # --- similarity search: hyperplane-sketch blocked ANN (scale path;
+    #     approximate -> rows-only check, recall pinned in pytest) ---
+    def ann_lsh(s, d):
+        from humid_spark.operators.ann import hyperplane_topk
+
+        emb = _t(s, d, "embeddings")
+        dim = len(emb.select("embedding").first()["embedding"])
+        return hyperplane_topk(
+            emb, emb.filter(F.col("vec_id") < 5), dim=dim, k=10
+        )
+
+    q["ann_hyperplane_topk"] = ann_lsh
+
+    # --- directional clustering: non-SQL-expressible (sequential greedy,
+    #     src/cluster.cc:39-87) -> rows-only check; exact parity is pinned by
+    #     tests/test_pipeline.py against the pure-Python oracle. ---
+    def directional(s, d):
+        from humid_spark.operators.directional import cluster_keys
+
+        uniq = _uniq(s, d).select(
+            "key", F.col("cnt").alias("count"),
+            F.lit(None).cast("timestamp").alias("first_ts"),
+            F.col("first_doc_id").cast("string").alias("first_url"),
+        )
+        return cluster_keys(uniq, _pairs_h1(s, d)).select(
+            "key", "cluster_id", "cluster_size", "max_key"
+        )
+
+    q["directional_clusters"] = directional
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["exact_dup_counts"] = _SQL_UNIQ
+
+    o["count_histogram"] = (
+        f"SELECT cnt AS multiplicity, count(*) AS frequency "
+        f"FROM ({_SQL_UNIQ}) GROUP BY cnt"
+    )
+
+    o["hamming1_pairs"] = _SQL_EDGES_H1
+
+    o["edit1_pairs"] = (
+        f"SELECT a.key AS src, b.key AS dst "
+        f"FROM (SELECT DISTINCT key FROM ({_SQL_KEYS})) a "
+        f"JOIN (SELECT DISTINCT key FROM ({_SQL_KEYS})) b "
+        f"ON a.key < b.key AND levenshtein(a.key, b.key) <= 1"
+    )
+
+    o["neighbour_histogram"] = f"""
+        WITH uk AS (SELECT DISTINCT key FROM ({_SQL_KEYS})),
+        e AS (SELECT src AS key FROM ({_SQL_EDGES_H1})
+              UNION ALL SELECT dst FROM ({_SQL_EDGES_H1})),
+        deg AS (SELECT uk.key, count(e.key) AS degree
+                FROM uk LEFT JOIN e ON uk.key = e.key GROUP BY uk.key)
+        SELECT degree, count(*) AS frequency FROM deg GROUP BY degree
     """
-    return {}
+
+    o["components"] = _SQL_CC
+
+    o["cluster_size_histogram"] = f"""
+        WITH cc AS ({_SQL_CC}), u AS ({_SQL_UNIQ}),
+        sizes AS (SELECT cc.component, CAST(sum(u.cnt) AS BIGINT) AS size
+                  FROM cc JOIN u ON cc.key = u.key GROUP BY cc.component)
+        SELECT size, count(*) AS frequency FROM sizes GROUP BY size
+    """
+
+    o["representatives"] = f"""
+        WITH cc AS ({_SQL_CC}), u AS ({_SQL_UNIQ}),
+        j AS (SELECT cc.component, u.key, u.cnt FROM cc JOIN u ON cc.key = u.key),
+        r AS (SELECT component, key, cnt,
+                     row_number() OVER (PARTITION BY component
+                                        ORDER BY cnt DESC, key) AS rn
+              FROM j)
+        SELECT component, key AS rep_key, cnt AS rep_cnt FROM r WHERE rn = 1
+    """
+
+    o["dedup_keep"] = f"""
+        WITH cc AS ({_SQL_CC}), u AS ({_SQL_UNIQ}),
+        j AS (SELECT cc.component, u.key, u.cnt, u.first_doc_id
+              FROM cc JOIN u ON cc.key = u.key),
+        r AS (SELECT first_doc_id,
+                     row_number() OVER (PARTITION BY component
+                                        ORDER BY cnt DESC, key) AS rn
+              FROM j)
+        SELECT first_doc_id AS doc_id FROM r WHERE rn = 1
+    """
+
+    o["annotate"] = f"""
+        WITH cc AS ({_SQL_CC})
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NOT NULL AND length(d.text) >= 24
+                    THEN coalesce(cc.key_comp, '') ELSE '' END AS cluster
+        FROM (SELECT doc_id, text, substr(text, 1, 24) AS key FROM documents) d
+        LEFT JOIN (SELECT key, component AS key_comp FROM cc) cc ON d.key = cc.key
+    """
+
+    o["scalar_stats"] = (
+        "SELECT count(*) AS total, "
+        "count(*) FILTER (WHERE text IS NOT NULL AND length(text) >= 24) AS usable, "
+        "count(DISTINCT CASE WHEN text IS NOT NULL AND length(text) >= 24 "
+        "THEN substr(text, 1, 24) END) AS \"unique\" FROM documents"
+    )
+
+    o["minhash_signatures"] = _sig_sql_duck()
+
+    from humid_spark.functions.signatures import simhash_sql_duckdb
+
+    o["simhash_signatures"] = (
+        f"SELECT doc_id, {simhash_sql_duckdb('text', MH_K)} AS simhash16 "
+        f"FROM documents"
+    )
+
+    o["lsh_band_pairs"] = _band_join_duck()
+
+    o["ngram_jaccard_pairs"] = f"""
+        WITH sh AS ({_SQL_SHINGLES}), p AS ({_band_join_duck()})
+        SELECT p.src, p.dst,
+               (1000 * len(list_intersect(a.sh, b.sh)))
+                 // len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard_permille
+        FROM p JOIN sh a ON p.src = a.doc_id JOIN sh b ON p.dst = b.doc_id
+    """
+
+    from humid_spark.functions import textstats as ts
+
+    o["text_stats"] = (
+        f"SELECT doc_id, {ts.sql_token_count('text')} AS tokens, "
+        f"(length(coalesce(text, '')) + 3) // 4 AS token_est, "
+        f"{ts.sql_punct_permille('text')} AS punct_permille, "
+        f"{ts.sql_stopword_permille('text')} AS stopword_permille "
+        f"FROM documents"
+    )
+
+    o["quality_class_counts"] = (
+        f"SELECT {ts.sql_quality_class('text')} AS quality, count(*) AS n "
+        f"FROM documents GROUP BY 1"
+    )
+
+    o["lang_guess_counts"] = (
+        f"SELECT lang, {ts.sql_lang_guess('text')} AS lang_guess, "
+        f"count(*) AS n FROM documents GROUP BY 1, 2"
+    )
+
+    o["fingerprint_exact_dups"] = (
+        f"SELECT {ts.sql_fingerprint('text')} AS fp, count(*) AS n, "
+        f"min(doc_id) AS keep_doc_id FROM documents GROUP BY 1"
+    )
+
+    o["pricing_summary"] = (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+
+    o["top_customers"] = (
+        "SELECT c_custkey AS custkey, c_name AS name, order_count "
+        "FROM (SELECT o_custkey, count(*) AS order_count FROM orders "
+        "      GROUP BY o_custkey) a "
+        "JOIN customer ON o_custkey = c_custkey WHERE order_count >= 12"
+    )
+
+    o["events_daily"] = (
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, "
+        "count(*) AS n, "
+        "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis "
+        "FROM events GROUP BY 1, 2"
+    )
+
+    o["ann_cosine_topk"] = """
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        dots AS (
+          SELECT q.vec_id AS qid, e.vec_id AS cid,
+            list_sum(list_transform(generate_series(1, len(e.embedding)),
+              i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dot,
+            sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)),
+              i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) AS qn,
+            sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS cn
+          FROM embeddings e, q WHERE e.vec_id <> q.vec_id
+        ),
+        r AS (SELECT qid, cid,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY dot / (qn * cn) DESC, cid) AS rank
+              FROM dots)
+        SELECT qid, cid, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+    """
+
+    # ann_hyperplane_topk intentionally omitted: approximate operator
+    # (random-hyperplane blocking); the driver records rows-only, and
+    # tests/test_ann.py pins recall against the exact operator.
+    # directional_clusters intentionally omitted: sequential greedy semantics
+    # (reference src/cluster.cc:39-87) are not SQL-expressible; the driver
+    # records the weaker rows-only check and pytest pins exact parity.
+    return o

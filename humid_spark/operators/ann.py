@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (training-data-pipeline extra).
+
+Not in the reference (HUMID has no vector search); required for a modern
+dedup/curation engine.  Two paths:
+
+- `cosine_topk`: exact brute-force — broadcast the (small) query set against
+  the corpus, dot products as JVM-side `aggregate(zip_with(...))` in double
+  precision (strict left-to-right summation, reproducible bit-for-bit across
+  engines), per-query top-k via a window partitioned by query id.  This is
+  the correctness baseline and stays viable at scale when |queries| is small
+  (the corpus is never shuffled — one broadcast + one partial top-k).
+
+- `hyperplane_topk`: the scale path — a random-hyperplane (SimHash-for-
+  vectors) sketch computed in a vectorized pandas UDF; candidates are
+  corpus rows within `radius` sketch-bits of the query (blocked on the
+  first `block_bits` bits so the join is an equi-join, not a cross join),
+  then exact cosine rerank of candidates only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """Strict left-to-right double-precision dot product (JVM expression)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(dot_double(a, a))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine; returns (qid, cid, rank), ties broken by cid.
+
+    Self-matches (qid == cid) are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "score",
+            dot_double(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def make_table_sketch_udf(dim: int, n_tables: int = 16, bits: int = 8,
+                          seed: int = 42):
+    """Banded random-hyperplane sketch: n_tables independent hash tables of
+    `bits` sign bits each, returned as array<long> of per-table bucket ids.
+    One matmul per Arrow batch (vectorized, no per-row Python).
+
+    Detection probability per table at angle θ is (1-θ/π)^bits; across
+    tables 1-(1-p)^n_tables — e.g. cos 0.9, bits=8, tables=16 → ~0.996,
+    while random pairs (cos≈0) collide at ~(1/2)^8 per table.  The standard
+    SRP-LSH construction (Charikar, public literature)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_tables * bits))
+    weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sketch(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())            # (n, dim)
+        signs = (mat @ planes) > 0                 # (n, T*bits)
+        per = signs.reshape(len(mat), -1, len(weights))  # (n, T, bits)
+        buckets = (per.astype(np.uint64) * weights).sum(axis=2).astype(np.int64)
+        return pd.Series(list(buckets))
+
+    return sketch
+
+
+def hyperplane_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_tables: int = 16,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: banded SRP-LSH candidate generation + exact cosine
+    rerank.  Candidates = corpus rows sharing ANY table's bucket with the
+    query (posexplode -> equi-join on (table, bucket)); only candidates are
+    exactly scored.  High recall for genuinely-similar neighbours
+    (cos >= ~0.8); on isotropic random data top-k has no LSH structure and
+    recall degrades by design — use cosine_topk there."""
+    sketch = make_table_sketch_udf(dim, n_tables, bits)
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        sketch(F.col(vec_col)).alias("csk"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        sketch(F.col(vec_col)).alias("qsk"),
+    )
+    c_b = c.select(
+        "cid", "cvec", F.posexplode("csk").alias("tbl", "bucket")
+    )
+    q_b = q.select(
+        "qid", "qvec", F.posexplode("qsk").alias("tbl", "bucket")
+    )
+    cand = (
+        c_b.join(F.broadcast(q_b), ["tbl", "bucket"])
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "qvec", "cid", "cvec")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "score",
+        dot_double(F.col("qvec"), F.col("cvec"))
+        / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1,0 +1,56 @@
+"""Similarity search: exact brute-force vs numpy ground truth, and the
+SRP-LSH scale path's recall on planted near-duplicate vectors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from humid_spark.operators.ann import cosine_topk, hyperplane_topk
+
+DIM = 32
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """200 base vectors; ids 1000+i are noisy copies of i (cos >= ~0.95)."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((200, DIM))
+    noisy = base + 0.15 * rng.standard_normal((200, DIM))
+    rows = [(i, base[i].astype(float).tolist()) for i in range(200)]
+    rows += [(1000 + i, noisy[i].astype(float).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, base, noisy
+
+
+def test_cosine_topk_matches_numpy(planted):
+    df, base, noisy = planted
+    spark_top = cosine_topk(df, df.filter(F.col("vec_id") < 20), k=5)
+    got = {}
+    for r in spark_top.collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["cid"]))
+
+    all_vecs = {i: base[i] for i in range(200)}
+    all_vecs.update({1000 + i: noisy[i] for i in range(200)})
+    for qid in range(20):
+        qv = all_vecs[qid]
+        scores = sorted(
+            (
+                (-np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v)), cid)
+                for cid, v in all_vecs.items()
+                if cid != qid
+            )
+        )[:5]
+        expect = [cid for _s, cid in scores]
+        assert [c for _r, c in sorted(got[qid])] == expect, f"qid {qid}"
+
+
+def test_hyperplane_recall_on_planted_neighbours(planted):
+    df, _base, _noisy = planted
+    queries = df.filter(F.col("vec_id") < 200)
+    approx = hyperplane_topk(df, queries, dim=DIM, k=1)
+    top1 = {r["qid"]: r["cid"] for r in approx.collect() if r["rank"] == 1}
+    hits = sum(1 for q in range(200) if top1.get(q) == 1000 + q)
+    recall = hits / 200
+    assert recall >= 0.95, f"planted-neighbour recall {recall:.3f} < 0.95"

@@ -40,6 +40,12 @@ class DedupConfig:
     jaccard_threshold: float = 0.8
     simhash_bits: int = 64
 
+    # --- containment pass (winnowing; SURVEY.md §7.2 M4) ---
+    use_containment: bool = False
+    containment_min_share: float = 0.7
+    winnow_k: int = 8
+    winnow_w: int = 16
+
     # --- skew / scale safety (SURVEY.md §4.3.6) ---
     bucket_cap: int = 2000         # max rows per LSH bucket before salted demotion
     max_component_edges: int = 2_000_000   # giant-component fallback threshold

@@ -70,6 +70,46 @@ def minhash_signature(text: str | None, k: int, a: np.ndarray, b: np.ndarray) ->
     return sig.min(axis=1).tolist()
 
 
+def oph_signature(text: str | None, k: int, num_perm: int) -> np.ndarray:
+    """One-permutation MinHash with rotation densification (Li/Owen/Zhang,
+    Shrivastava — public literature): O(S) per doc instead of O(num_perm*S).
+
+    Each shingle hash is mixed to 64 bits, assigned to bucket h % num_perm,
+    and the bucket keeps the minimum; empty buckets borrow the next
+    non-empty bucket's value (circularly) plus an offset so that
+    P(sig_a[j] == sig_b[j]) ~= Jaccard(a, b) still holds — the same banding
+    and estimation machinery applies unchanged."""
+    sig = np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64)
+    if text:
+        sh = shingle_hashes(text, k)
+        if sh.size:
+            mixed = _mix64(sh)
+            buckets = (mixed % np.uint64(num_perm)).astype(np.int64)
+            vals = (mixed >> np.uint64(1)).astype(np.int64)  # keep positive
+            np.minimum.at(sig, buckets, vals)
+    empty = sig == np.iinfo(np.int64).max
+    if empty.all():
+        return np.full(num_perm, P31, dtype=np.int64)
+    if empty.any():
+        # rotation densification: walk once, carrying the last filled value
+        idx = np.arange(num_perm)
+        filled = np.where(~empty, idx, -1)
+        # nearest filled bucket to the left (circular): two-pass fill
+        last = -1
+        left = np.empty(num_perm, dtype=np.int64)
+        for i in range(num_perm):
+            if filled[i] >= 0:
+                last = i
+            left[i] = last
+        if left[0] == -1:
+            first = int(np.argmax(~empty))
+            left[left == -1] = first
+        borrow = sig[left]
+        dist = (idx - left) % num_perm
+        sig = np.where(empty, borrow + dist, sig)
+    return sig
+
+
 def simhash64(text: str | None, k: int) -> int:
     if not text:
         return 0
@@ -83,12 +123,23 @@ def simhash64(text: str | None, k: int) -> int:
     return int(word.astype(np.int64))  # wrap to signed for LongType
 
 
-def make_minhash_udf(shingle_k: int, num_perm: int, seed: int = 42):
-    a, b = _coeffs(num_perm, seed)
+def make_minhash_udf(shingle_k: int, num_perm: int, seed: int = 42,
+                     scheme: str = "oph"):
+    """scheme='oph' (default): one-permutation + densification, O(S)/doc —
+    the engine's fast path.  scheme='kperm': classic k independent
+    universal hashes, O(num_perm*S)/doc — kept for comparison/debugging."""
+    if scheme == "oph":
+        @pandas_udf(T.ArrayType(T.LongType()))
+        def minhash_udf(texts: pd.Series) -> pd.Series:
+            return texts.map(
+                lambda t: oph_signature(t, shingle_k, num_perm).tolist()
+            )
+    else:
+        a, b = _coeffs(num_perm, seed)
 
-    @pandas_udf(T.ArrayType(T.LongType()))
-    def minhash_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: minhash_signature(t, shingle_k, a, b))
+        @pandas_udf(T.ArrayType(T.LongType()))
+        def minhash_udf(texts: pd.Series) -> pd.Series:
+            return texts.map(lambda t: minhash_signature(t, shingle_k, a, b))
 
     return minhash_udf
 

@@ -32,6 +32,7 @@ from humid_spark.config import DedupConfig
 from humid_spark.functions.signatures import make_minhash_udf
 from humid_spark.operators import lsh
 from humid_spark.operators.cc import connected_components
+from humid_spark.sources.io import CheckpointStore
 
 
 @dataclass
@@ -46,7 +47,23 @@ class WebDedupResult:
     demoted: DataFrame     # capped hot buckets (lineage)
 
 
-def run_web_pipeline(pages: DataFrame, cfg: DedupConfig) -> WebDedupResult:
+def run_web_pipeline(
+    pages: DataFrame,
+    cfg: DedupConfig,
+    store: CheckpointStore | None = None,
+) -> WebDedupResult:
+    """With `store`, the three expensive stages (signatures, verified pairs,
+    components) checkpoint to parquet keyed by (input snapshot, config hash,
+    stage): a rerun resumes from the last completed stage; a changed config
+    never reuses stale checkpoints (north_rule resumability)."""
+    spark = pages.sparkSession
+
+    def staged(stage, compute):
+        if store is None:
+            return compute()
+        df, cached = store.get_or_compute(spark, stage, compute)
+        return df
+
     min_len = max(cfg.shingle_k, 1)
     docs = (
         pages.withColumn("doc_id", F.xxhash64(F.col("url")))
@@ -69,19 +86,48 @@ def run_web_pipeline(pages: DataFrame, cfg: DedupConfig) -> WebDedupResult:
         )
     )
 
+    # The signature UDF is CPU-bound Python, not byte-bound JVM: AQE's
+    # byte-based partition coalescing would starve it of cores on small-ish
+    # inputs, so repartition explicitly to full parallelism before the UDF.
+    par = spark.sparkContext.defaultParallelism * 2
     minhash_udf = make_minhash_udf(cfg.shingle_k, cfg.num_perm)
-    sigs = uniq.select(
-        F.col("rep_doc_id").alias("doc_id"),
-        minhash_udf(F.col("text")).alias("minhash"),
-    ).localCheckpoint(eager=False)
+    sigs = staged(
+        "signatures",
+        lambda: uniq.repartition(par, "text_hash").select(
+            F.col("rep_doc_id").alias("doc_id"),
+            minhash_udf(F.col("text")).alias("minhash"),
+        ),
+    )
+    if store is None:
+        # materialize once: bands, verify (two self-joins) and the fan-out
+        # all reuse the signature table — the resident-state analog of the
+        # reference's trie (never recomputed per pass).
+        sigs = sigs.localCheckpoint(eager=True)
 
     buckets = lsh.band_buckets(sigs, cfg)
-    cand = lsh.candidate_pairs(buckets, cfg)
-    pairs = lsh.verify_pairs(cand, sigs, cfg)
     demoted = lsh.demoted_buckets(buckets, cfg)
+    pairs = staged(
+        "pairs",
+        lambda: lsh.verify_pairs(lsh.candidate_pairs(buckets, cfg), sigs, cfg),
+    )
+
+    # Containment pass (winnowing) finds substring dups LSH misses; its
+    # edges union with the near-dup edges before clustering.
+    def _edge_set():
+        edges = pairs.select("src", "dst")
+        if cfg.use_containment:
+            from humid_spark.operators.containment import containment_pairs
+
+            cont = containment_pairs(
+                uniq.select(F.col("rep_doc_id").alias("doc_id"), "text"),
+                k=cfg.winnow_k, w=cfg.winnow_w,
+                min_share=cfg.containment_min_share,
+            )
+            edges = edges.union(cont.select("src", "dst")).distinct()
+        return edges
 
     # Components over unique-text representatives...
-    comp = connected_components(pairs.select("src", "dst"))
+    comp = staged("components", lambda: connected_components(_edge_set()))
     rep_cluster = (
         sigs.select("doc_id")
         .join(comp, sigs["doc_id"] == comp["node"], "left")

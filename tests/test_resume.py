@@ -1,0 +1,59 @@
+"""Resumability + lineage: checkpointed stages skip recompute on rerun;
+changed config never reuses stale checkpoints (north_rule)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from humid_spark.config import DedupConfig
+from humid_spark.plans.webdedup import run_web_pipeline
+from humid_spark.sources.io import CheckpointStore, snapshot_key
+from humid_spark.sources.pages import fx_webtext, to_spark
+
+STAGES = ("signatures", "pairs", "components")
+
+
+def _manifest_paths(root: str, snap: str, cfg_hash: str) -> dict[str, str]:
+    return {
+        s: os.path.join(root, s, snapshot_key(snap, cfg_hash, s), "_manifest.json")
+        for s in STAGES
+    }
+
+
+def test_checkpoint_resume_and_lineage(spark, tmp_path):
+    cfg = DedupConfig()
+    root = str(tmp_path / "ckpt")
+    pages = to_spark(spark, fx_webtext(n_seeds=20))
+    store = CheckpointStore(root, input_snapshot="snapA", config_hash=cfg.config_hash())
+
+    r1 = run_web_pipeline(pages, cfg, store=store)
+    first = sorted((row["url"], row["cluster_id"]) for row in r1.annotated.collect())
+
+    mans = _manifest_paths(root, "snapA", cfg.config_hash())
+    for stage, mp in mans.items():
+        assert os.path.exists(mp), f"missing manifest for {stage}"
+        man = json.load(open(mp))
+        assert man["rows"] >= 0
+        assert man["partitions"], "per-partition lineage must be recorded"
+        assert man["config_hash"] == cfg.config_hash()
+    lineage = [json.loads(line) for line in open(os.path.join(root, "_lineage.jsonl"))]
+    assert {m["stage"] for m in lineage} == set(STAGES)
+
+    # rerun: same snapshot+config -> all stages served from checkpoint
+    mtimes = {s: os.path.getmtime(p) for s, p in mans.items()}
+    store2 = CheckpointStore(root, input_snapshot="snapA", config_hash=cfg.config_hash())
+    r2 = run_web_pipeline(pages, cfg, store=store2)
+    second = sorted((row["url"], row["cluster_id"]) for row in r2.annotated.collect())
+    assert second == first
+    for s, p in mans.items():
+        assert os.path.getmtime(p) == mtimes[s], f"{s} was recomputed"
+
+    # changed config -> new snapshot keys, nothing reused
+    cfg2 = DedupConfig(jaccard_threshold=0.9)
+    assert cfg2.config_hash() != cfg.config_hash()
+    mans2 = _manifest_paths(root, "snapA", cfg2.config_hash())
+    assert all(not os.path.exists(p) for p in mans2.values())
+    store3 = CheckpointStore(root, input_snapshot="snapA", config_hash=cfg2.config_hash())
+    run_web_pipeline(pages, cfg2, store=store3).annotated.count()
+    assert all(os.path.exists(p) for p in mans2.values())

@@ -22,8 +22,12 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
 sys.path.insert(0, ROOT)
 
-DATA = os.path.join(HERE, "data", "pages_bench")
-N_ROWS = int(os.environ.get("SCALING_ROWS", "120000"))
+N_ROWS = int(os.environ.get("SCALING_ROWS", "6000000"))
+DATA = os.environ.get(
+    "SCALING_DATA",
+    os.path.join(HERE, "data", f"pages_bench_{N_ROWS // 1_000_000}m"
+                 if N_ROWS >= 1_000_000 else f"pages_bench_{N_ROWS}"),
+)
 CORES = (8, 32)
 
 

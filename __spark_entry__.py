@@ -425,6 +425,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_daily"] = events_daily
 
+    # --- window functions: sessionization over the events stream table ---
+    def user_sessions(s, d):
+        from pyspark.sql import Window
+
+        e_ = _t(s, d, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        es = F.col("ts").cast("timestamp").cast("long")
+        prev = F.lag(es).over(w)
+        new_sess = F.when(
+            prev.isNull() | ((es - prev) > 1800), 1
+        ).otherwise(0)
+        return (
+            e_.withColumn("new_sess", new_sess)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("new_sess").cast("long").alias("n_sessions"),
+            )
+        )
+
+    q["user_sessions"] = user_sessions
+
+    # --- SimHash near-dup pairs: 64-bit engine fingerprints, bit-band
+    #     blocking (numpy UDF -> rows-only; SQL-parity 16-bit variant is
+    #     oracle-checked above as simhash_signatures) ---
+    def simhash_pairs_q(s, d):
+        from humid_spark.functions.signatures import make_simhash_udf
+        from humid_spark.operators.lsh import simhash_pairs
+
+        sims = _t(s, d, "documents").select(
+            "doc_id", make_simhash_udf(MH_K)(F.col("text")).alias("simhash")
+        )
+        return simhash_pairs(sims)
+
+    q["simhash_near_dups"] = simhash_pairs_q
+
     # --- similarity search: exact brute-force cosine top-k (strict
     #     left-to-right double summation -> engine-reproducible ranks) ---
     def ann_topk(s, d):
@@ -609,6 +645,20 @@ def oracle_sql() -> dict[str, str]:
         "FROM events GROUP BY 1, 2"
     )
 
+    o["user_sessions"] = """
+        WITH x AS (
+          SELECT user_id,
+                 CASE WHEN prev IS NULL OR (es - prev) > 1800 THEN 1 ELSE 0 END AS new_sess
+          FROM (
+            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                   lag(CAST(floor(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events) t)
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(new_sess) AS BIGINT) AS n_sessions
+        FROM x GROUP BY user_id
+    """
+
     o["ann_cosine_topk"] = """
         WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
         dots AS (
@@ -628,6 +678,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT qid, cid, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
     """
 
+    # simhash_near_dups intentionally omitted: the 64-bit engine fingerprint
+    # is a numpy UDF (no SQL equivalent); its 16-bit SQL-parity sibling IS
+    # oracle-checked (simhash_signatures).
     # ann_hyperplane_topk intentionally omitted: approximate operator
     # (random-hyperplane blocking); the driver records rows-only, and
     # tests/test_ann.py pins recall against the exact operator.

@@ -48,7 +48,7 @@ class DedupConfig:
 
     # --- skew / scale safety (SURVEY.md §4.3.6) ---
     bucket_cap: int = 2000         # max rows per LSH bucket before salted demotion
-    max_component_edges: int = 2_000_000   # giant-component fallback threshold
+    max_component_nodes: int = 2_000_000   # giant-component fallback threshold
     shuffle_partitions: int | None = None  # None -> session default
 
     # --- resumability ---

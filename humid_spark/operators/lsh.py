@@ -83,6 +83,61 @@ def demoted_buckets(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+def simhash_pairs(
+    sims: DataFrame,
+    max_bits: int = 3,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit fingerprints within `max_bits`
+    bit-Hamming distance.
+
+    Blocking by the pigeonhole principle on bit-bands: split the 64 bits
+    into `n_bands` contiguous bands — two fingerprints within max_bits
+    (< n_bands) must agree exactly on at least one band.  Band extraction
+    is shift/mask (JVM), candidate join is an equi-join on (band, value),
+    verification is bit_count(xor) <= max_bits.  The same shape as the
+    MinHash band join, so the same skew/cap reasoning applies upstream.
+    """
+    width = 64 // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col(sim_col), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    ex = sims.select(
+        F.col(id_col).alias("doc"), F.col(sim_col).alias("sh"),
+        F.explode(bands).alias("bb"),
+    ).select("doc", "sh", "bb.band", "bb.val")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("src"),
+            F.col("b.doc").alias("dst"),
+            F.bit_count(
+                F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+            ).alias("bit_dist"),
+        )
+        .filter(F.col("bit_dist") <= max_bits)
+        .select("src", "dst", "bit_dist")
+        .distinct()
+    )
+
+
 def verify_pairs(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig,
                  id_col: str = "doc_id", sig_col: str = "minhash") -> DataFrame:
     """Estimate Jaccard from full signatures; keep pairs >= threshold.

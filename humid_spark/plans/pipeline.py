@@ -49,7 +49,7 @@ def run_pipeline(pages: DataFrame, cfg: DedupConfig) -> DedupResult:
     pairs = neighbour_pairs(uniq, cfg)
     clusters = cluster_keys(
         uniq, pairs, maximum=cfg.max_clustering,
-        max_component_nodes=cfg.max_component_edges,
+        max_component_nodes=cfg.max_component_nodes,
     )
 
     key_to_cluster = clusters.select("key", "cluster_id", "max_key")
@@ -88,3 +88,21 @@ def run_pipeline(pages: DataFrame, cfg: DedupConfig) -> DedupResult:
         cluster_hist=stats.cluster_histogram(clusters),
         stats=stats.scalar_stats(keyed, uniq, clusters),
     )
+
+
+def write_outputs(result: DedupResult, out_dir: str, cfg: DedupConfig) -> None:
+    """Materialize the reference's output surface (src/humid.cc:390-404):
+    -q dedup table, -a annotated table, -s the three histograms + scalar
+    stats — as parquet tables under out_dir (the engine's *_dedup /
+    *_annotated / counts.dat analogs)."""
+    if cfg.write_dedup:
+        result.dedup.write.mode("overwrite").parquet(f"{out_dir}/pages_dedup")
+    if cfg.write_annotated:
+        result.annotated.write.mode("overwrite").parquet(
+            f"{out_dir}/pages_annotated"
+        )
+    if cfg.write_stats:
+        result.count_hist.write.mode("overwrite").parquet(f"{out_dir}/counts")
+        result.neigh_hist.write.mode("overwrite").parquet(f"{out_dir}/neigh")
+        result.cluster_hist.write.mode("overwrite").parquet(f"{out_dir}/clusters")
+        result.stats.write.mode("overwrite").parquet(f"{out_dir}/stats")

@@ -86,16 +86,20 @@ def run_web_pipeline(
         )
     )
 
-    # The signature UDF is CPU-bound Python, not byte-bound JVM: AQE's
-    # byte-based partition coalescing would starve it of cores on small-ish
-    # inputs, so repartition explicitly to full parallelism before the UDF.
-    par = spark.sparkContext.defaultParallelism * 2
-    minhash_udf = make_minhash_udf(cfg.shingle_k, cfg.num_perm)
+    # The signature stage is CPU-bound Python, not byte-bound JVM.
+    # Parallelism comes from the upstream groupBy's shuffle partitioning
+    # (session config keeps AQE's advisory partition size small enough that
+    # UDF stages see all cores); an explicit repartition here measured 3.5x
+    # SLOWER at 500k rows — it re-shuffles the full text payload for
+    # nothing.  mapInArrow builds the signature column straight from numpy
+    # buffers (no per-row Python lists).
+    from humid_spark.functions.signatures import minhash_map_in_arrow
+
     sigs = staged(
         "signatures",
-        lambda: uniq.repartition(par, "text_hash").select(
-            F.col("rep_doc_id").alias("doc_id"),
-            minhash_udf(F.col("text")).alias("minhash"),
+        lambda: minhash_map_in_arrow(
+            uniq.select(F.col("rep_doc_id").alias("doc_id"), "text"),
+            cfg.shingle_k, cfg.num_perm,
         ),
     )
     if store is None:
@@ -137,14 +141,17 @@ def run_web_pipeline(
         )
     )
     # ...then fanned back out to every usable doc through the exact groups.
-    doc_to_rep = usable.withColumn(
-        "text_hash", F.xxhash64(F.col("text"))
-    ).join(
-        uniq.select("text_hash", "rep_doc_id"), "text_hash"
-    ).select("doc_id", "url", "warc_ts", "text", "lang", "rep_doc_id")
+    # All intermediate joins carry ONLY (ids, hashes) — the wide page
+    # payload (text/html) is shuffled exactly once, in the final annotate
+    # join, instead of riding through three shuffles.
+    doc_to_rep = (
+        usable.select("doc_id", F.xxhash64(F.col("text")).alias("text_hash"))
+        .join(uniq.select("text_hash", "rep_doc_id"), "text_hash")
+        .select("doc_id", "rep_doc_id")
+    )
     clusters = doc_to_rep.join(
         rep_cluster.withColumnRenamed("doc_id", "rep_doc_id"), "rep_doc_id"
-    )
+    ).select("doc_id", "rep_doc_id", "cluster_id")
 
     annotated = (
         docs.join(clusters.select("doc_id", "cluster_id"), "doc_id", "left")
@@ -156,12 +163,13 @@ def run_web_pipeline(
     # Representative = first (warc_ts, url) in the cluster — the reference's
     # first-in-input-order emit (F2) without the count climb (web mode has
     # no UMI-count semantics; exact-dup multiplicity is carried in `count`).
-    reps = (
-        clusters.groupBy("cluster_id")
-        .agg(F.min(F.struct("warc_ts", "url")).alias("first"))
-        .select("cluster_id", F.col("first.url").alias("url"))
+    rep_docs = (
+        annotated.filter(F.col("usable"))
+        .groupBy("cluster_id")
+        .agg(F.min(F.struct("warc_ts", "url", "doc_id")).alias("first"))
+        .select("cluster_id", F.col("first.doc_id").alias("doc_id"))
     )
-    dedup = docs.join(reps.select("url"), "url", "semi").select(
+    dedup = docs.join(rep_docs.select("doc_id"), "doc_id", "semi").select(
         "url", "warc_ts", "html", "text", "lang"
     )
 

@@ -147,23 +147,35 @@ def fx_umi_header() -> list[dict]:
     return rows
 
 
-_WORDS = (
-    "the data query spark table row column value join filter scan hash sort "
-    "merge agg window stream batch shuffle partition key index cache disk "
-    "memory fast slow big small node cluster stage task plan cost page web "
-    "crawl text dedup near exact match sketch band bucket sig"
-).split()
+def _make_vocab(n: int = 3000, seed: int = 1234) -> list[str]:
+    """Synthetic vocabulary large enough that UNRELATED docs share almost no
+    shingles (real web text has diverse vocabulary; a tiny vocabulary makes
+    every doc pair ~35% Jaccard-similar and floods any honest LSH with
+    candidates — an artifact of the generator, not of web data)."""
+    rng = random.Random(seed)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    vocab = set()
+    while len(vocab) < n:
+        vocab.add("".join(rng.choice(letters) for _ in range(rng.randint(3, 9))))
+    return sorted(vocab)
 
 
-def _sentence(rng: random.Random, n: int) -> str:
-    return " ".join(rng.choice(_WORDS) for _ in range(n)) + "."
+_VOCAB = _make_vocab()
+
+
+def _sentence(rng: random.Random, n: int, words: list[str] | None = None) -> str:
+    ws = words if words is not None else _VOCAB
+    return " ".join(rng.choice(ws) for _ in range(n)) + "."
 
 
 def _doc(rng: random.Random, min_chars: int = 200, max_chars: int = 2000) -> str:
     target = rng.randint(min_chars, max_chars)
+    # per-doc topic: a 150-word subset of the vocabulary (docs repeat their
+    # own words like real pages do, but barely overlap with other docs)
+    topic = [_VOCAB[rng.randrange(len(_VOCAB))] for _ in range(150)]
     parts: list[str] = []
     while sum(len(p) + 1 for p in parts) < target:
-        parts.append(_sentence(rng, rng.randint(6, 14)))
+        parts.append(_sentence(rng, rng.randint(6, 14), topic))
     return " ".join(parts)
 
 

@@ -25,7 +25,9 @@ def test_every_query_has_oracle_or_reason(spark):
     os_ = set(e.oracle_sql())
     assert os_ <= qs
     # documented rows-only exceptions only
-    assert qs - os_ == {"directional_clusters", "ann_hyperplane_topk"}
+    assert qs - os_ == {
+        "directional_clusters", "ann_hyperplane_topk", "simhash_near_dups",
+    }
 
 
 @pytest.mark.slow

@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """One scaling-measurement run: full web-dedup pipeline end-to-end on a
-pre-generated pages parquet at a given core count.  Prints one JSON line.
+pre-generated pages parquet at a given core count and MinHash scheme.
+Prints one JSON line.
 
-Invoked as a SUBPROCESS per parallelism level by BENCH/scaling.py so each
-run gets a fresh JVM (two local masters in one process would share/skew
+Invoked as a SUBPROCESS per configuration by BENCH/scaling.py so each run
+gets a fresh JVM (two local masters in one process would share/skew
 state)."""
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--path", required=True)
+    ap.add_argument("--scheme", default="oph", choices=["oph", "kperm"])
     args = ap.parse_args()
 
     from humid_spark.config import DedupConfig
@@ -28,7 +30,7 @@ def main() -> None:
     from humid_spark.session import get_spark
 
     spark = get_spark(
-        f"scaling-{args.cores}", cores=args.cores,
+        f"scaling-{args.scheme}-{args.cores}", cores=args.cores,
         shuffle_partitions=max(args.cores * 2, 16),
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -36,12 +38,13 @@ def main() -> None:
     rows = pages.count()  # warm the input + JVM before timing
 
     t0 = time.perf_counter()
-    res = run_web_pipeline(pages, DedupConfig())
+    res = run_web_pipeline(pages, DedupConfig(minhash_scheme=args.scheme))
     res.annotated.write.format("noop").mode("overwrite").save()
     elapsed = time.perf_counter() - t0
 
     print(json.dumps({
         "cores": args.cores,
+        "scheme": args.scheme,
         "rows": rows,
         "elapsed_sec": round(elapsed, 2),
         "pages_per_sec": round(rows / elapsed, 1),

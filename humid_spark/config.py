@@ -36,6 +36,8 @@ class DedupConfig:
     # --- web-scale signature config (engine mode, SURVEY.md §7.2 M2-3) ---
     shingle_k: int = 5
     num_perm: int = 128
+    minhash_scheme: str = "oph"    # "oph" (fast, bandwidth-bound) | "kperm"
+                                   # (classic k-permutation, compute-bound)
     lsh_bands: int = 16            # bands * rows_per_band == num_perm
     jaccard_threshold: float = 0.8
     simhash_bits: int = 64

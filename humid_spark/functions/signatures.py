@@ -104,8 +104,10 @@ def oph_signature(text: str | None, k: int, num_perm: int) -> np.ndarray:
                 last = i
             left[i] = last
         if left[0] == -1:
-            first = int(np.argmax(~empty))
-            left[left == -1] = first
+            # circular wrap: nearest filled to the LEFT of slot 0 is the
+            # last filled slot (keep identical to oph_signatures_batch)
+            last = num_perm - 1 - int(np.argmax(~empty[::-1]))
+            left[left == -1] = last
         borrow = sig[left]
         dist = (idx - left) % num_perm
         sig = np.where(empty, (borrow + dist) % P31, sig)
@@ -148,9 +150,87 @@ def make_minhash_udf(shingle_k: int, num_perm: int, seed: int = 42,
     return minhash_udf
 
 
+def oph_signatures_batch(texts: list[str | None], k: int, num_perm: int) -> np.ndarray:
+    """Vectorized OPH over a whole batch: one concatenated byte buffer, one
+    polynomial-hash pass, one scatter-min — instead of a per-doc Python
+    loop.  Returns an (n_docs, num_perm) int32 matrix (empty/short docs get
+    the P31 sentinel row).  ~5-8x the per-doc path."""
+    bufs = [t.encode("utf-8") if t else b"" for t in texts]
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+    n = len(bufs)
+    sig = np.full((n, num_perm), np.iinfo(np.int64).max, dtype=np.int64)
+    if lens.sum() >= k:
+        data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        starts = np.concatenate(([0], np.cumsum(lens)))
+        powers = np.empty(k, dtype=np.int64)
+        p = 1
+        for i in range(k - 1, -1, -1):
+            powers[i] = p
+            p = (p * _BASE) % P31
+        if len(data) >= k:
+            # k shifted multiply-adds instead of an integer matmul (numpy
+            # has no BLAS path for ints -> 60x slower); values stay < 2^42
+            # before the final mod so no overflow.  One widening pass, then
+            # in-place ops: this stage is memory-bandwidth-bound, so every
+            # avoided temporary matters.
+            m = len(data) - k + 1
+            d64 = data.astype(np.int64)
+            acc = d64[0:m] * powers[0]
+            tmp = np.empty(m, dtype=np.int64)
+            for i in range(1, k):
+                np.multiply(d64[i:i + m], powers[i], out=tmp)
+                np.add(acc, tmp, out=acc)
+            np.mod(acc, P31, out=acc)
+            hashes = acc
+            # doc of window w = doc of byte w; windows crossing a doc
+            # boundary are invalid (repeat-based, no searchsorted)
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)[:m]
+            ends = np.repeat(starts[1:], lens)[:m]
+            valid = np.arange(m, dtype=np.int64) + k <= ends
+            hashes = hashes[valid]
+            doc_of = doc_of[valid]
+            mixed = _mix64(hashes)
+            buckets = (mixed % np.uint64(num_perm)).astype(np.int64)
+            vals = (mixed >> np.uint64(33)).astype(np.int64)
+            flat_idx = doc_of * num_perm + buckets
+            np.minimum.at(sig.reshape(-1), flat_idx, vals)
+    # densification, vectorized across the batch: for each doc, empty slots
+    # borrow the nearest filled slot to the left (circular) plus distance
+    empty = sig == np.iinfo(np.int64).max
+    any_filled = ~empty.all(axis=1)
+    if empty.any():
+        idx = np.arange(num_perm)
+        filled_pos = np.where(~empty, idx[None, :], -1)
+        left = np.maximum.accumulate(filled_pos, axis=1)
+        # wrap: docs whose first slots are empty borrow from the last filled
+        last_filled = left[:, -1]
+        need_wrap = left == -1
+        left = np.where(need_wrap, last_filled[:, None], left)
+        rows = np.arange(n)[:, None]
+        borrow = sig[rows, np.maximum(left, 0)]
+        dist = (idx[None, :] - left) % num_perm
+        dens = (borrow + dist) % P31
+        sig = np.where(empty, dens, sig)
+    sig[~any_filled] = P31
+    return sig.astype(np.int32)
+
+
+def kperm_signatures_batch(texts: list[str | None], k: int, num_perm: int,
+                           seed: int = 42) -> np.ndarray:
+    """Classic k-permutation MinHash over a batch (compute-bound: num_perm
+    multiply-mods per shingle — scales with cores where OPH saturates the
+    memory bus)."""
+    a, b = _coeffs(num_perm, seed)
+    out = np.empty((len(texts), num_perm), dtype=np.int32)
+    for i, t in enumerate(texts):
+        out[i] = np.asarray(minhash_signature(t, k, a, b), dtype=np.int64) \
+            .astype(np.int32, casting="unsafe")
+    return out
+
+
 def minhash_map_in_arrow(df, shingle_k: int, num_perm: int,
                          id_col: str = "doc_id", text_col: str = "text",
-                         out_col: str = "minhash"):
+                         out_col: str = "minhash", scheme: str = "oph"):
     """Arrow-native signature stage: mapInArrow consumes RecordBatches and
     emits the signature column as a pyarrow ListArray built directly from
     one flat numpy buffer + offsets — no per-row Python list materialization
@@ -158,15 +238,15 @@ def minhash_map_in_arrow(df, shingle_k: int, num_perm: int,
     pandas UDF; measured 1000 -> ~5000 docs/sec/core)."""
     import pyarrow as pa
 
+    batch_fn = (
+        oph_signatures_batch if scheme == "oph" else kperm_signatures_batch
+    )
+
     def gen(batches):
         for batch in batches:
             ids = batch.column(id_col)
             texts = batch.column(text_col).to_pylist()
-            flat = np.empty(len(texts) * num_perm, dtype=np.int32)
-            for i, t in enumerate(texts):
-                flat[i * num_perm:(i + 1) * num_perm] = oph_signature(
-                    t, shingle_k, num_perm
-                )
+            flat = batch_fn(texts, shingle_k, num_perm).reshape(-1)
             offsets = pa.array(
                 np.arange(0, (len(texts) + 1) * num_perm, num_perm,
                           dtype=np.int32)

@@ -99,7 +99,7 @@ def run_web_pipeline(
         "signatures",
         lambda: minhash_map_in_arrow(
             uniq.select(F.col("rep_doc_id").alias("doc_id"), "text"),
-            cfg.shingle_k, cfg.num_perm,
+            cfg.shingle_k, cfg.num_perm, scheme=cfg.minhash_scheme,
         ),
     )
     if store is None:

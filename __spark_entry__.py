@@ -484,6 +484,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_hyperplane_topk"] = ann_lsh
 
+    # --- containment/substring dups: winnowing fingerprints (numpy UDF ->
+    #     rows-only; the selection property is pinned in tests/test_containment.py) ---
+    def containment_q(s, d):
+        from humid_spark.operators.containment import containment_pairs
+
+        return containment_pairs(_t(s, d, "documents"), min_share=0.6)
+
+    q["containment_pairs"] = containment_q
+
     # --- directional clustering: non-SQL-expressible (sequential greedy,
     #     src/cluster.cc:39-87) -> rows-only check; exact parity is pinned by
     #     tests/test_pipeline.py against the pure-Python oracle. ---

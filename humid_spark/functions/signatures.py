@@ -230,7 +230,8 @@ def kperm_signatures_batch(texts: list[str | None], k: int, num_perm: int,
 
 def minhash_map_in_arrow(df, shingle_k: int, num_perm: int,
                          id_col: str = "doc_id", text_col: str = "text",
-                         out_col: str = "minhash", scheme: str = "oph"):
+                         out_col: str = "minhash", scheme: str = "oph",
+                         passthrough: tuple[str, ...] = ()):
     """Arrow-native signature stage: mapInArrow consumes RecordBatches and
     emits the signature column as a pyarrow ListArray built directly from
     one flat numpy buffer + offsets — no per-row Python list materialization
@@ -244,7 +245,9 @@ def minhash_map_in_arrow(df, shingle_k: int, num_perm: int,
 
     def gen(batches):
         for batch in batches:
-            ids = batch.column(id_col)
+            cols = [batch.column(id_col)] + [
+                batch.column(c) for c in passthrough
+            ]
             texts = batch.column(text_col).to_pylist()
             flat = batch_fn(texts, shingle_k, num_perm).reshape(-1)
             offsets = pa.array(
@@ -252,10 +255,13 @@ def minhash_map_in_arrow(df, shingle_k: int, num_perm: int,
                           dtype=np.int32)
             )
             sig = pa.ListArray.from_arrays(offsets, pa.array(flat))
-            yield pa.RecordBatch.from_arrays([ids, sig], [id_col, out_col])
+            yield pa.RecordBatch.from_arrays(
+                cols + [sig], [id_col, *passthrough, out_col]
+            )
 
-    schema = f"{id_col} long, {out_col} array<int>"
-    return df.select(id_col, text_col).mapInArrow(gen, schema)
+    pass_schema = "".join(f", {c} long" for c in passthrough)
+    schema = f"{id_col} long{pass_schema}, {out_col} array<int>"
+    return df.select(id_col, *passthrough, text_col).mapInArrow(gen, schema)
 
 
 def make_simhash_udf(shingle_k: int):

@@ -38,7 +38,7 @@ from humid_spark.sources.io import CheckpointStore
 @dataclass
 class WebDedupResult:
     docs: DataFrame        # url, warc_ts, text, lang, doc_id, usable
-    uniq: DataFrame        # text_hash, count, first (doc_id), text
+    uniq: DataFrame        # text_hash, count, rep_doc_id, minhash
     sigs: DataFrame        # doc_id(=first of exact group), minhash
     pairs: DataFrame       # verified near-dup pairs (src, dst, est_jaccard)
     clusters: DataFrame    # doc_id -> cluster_id (over ALL usable docs)
@@ -73,40 +73,38 @@ def run_web_pipeline(
         )
     )
 
-    # Exact-duplicate collapse (A1): one signature per distinct text.
-    # group id = min doc_id of the exact group (deterministic).
-    usable = docs.filter(F.col("usable"))
-    uniq = (
-        usable.withColumn("text_hash", F.xxhash64(F.col("text")))
-        .groupBy("text_hash")
-        .agg(
-            F.count(F.lit(1)).alias("count"),
-            F.min("doc_id").alias("rep_doc_id"),
-            F.first("text").alias("text"),
-        )
-    )
-
-    # The signature stage is CPU-bound Python, not byte-bound JVM.
-    # Parallelism comes from the upstream groupBy's shuffle partitioning
-    # (session config keeps AQE's advisory partition size small enough that
-    # UDF stages see all cores); an explicit repartition here measured 3.5x
-    # SLOWER at 500k rows — it re-shuffles the full text payload for
-    # nothing.  mapInArrow builds the signature column straight from numpy
-    # buffers (no per-row Python lists).
+    # Signatures are computed AT THE SCAN (narrow — the text payload never
+    # enters a shuffle), then the exact-duplicate collapse (A1) groups the
+    # compact (text_hash, sig) rows: one signature row per distinct text,
+    # group id = min doc_id (deterministic).  Computing the signature for
+    # each exact copy costs a little redundant CPU but saves shuffling the
+    # full text corpus — the right trade until exact-dup multiplicity is
+    # extreme, and the signature stage stays Arrow-native numpy (no per-row
+    # Python).  An explicit pre-UDF repartition measured 3.5x SLOWER (it
+    # re-shuffles text for nothing); AQE's small advisory partition size in
+    # session.py keeps UDF parallelism up instead.
     from humid_spark.functions.signatures import minhash_map_in_arrow
 
-    sigs = staged(
+    usable = docs.filter(F.col("usable"))
+    raw_sigs = minhash_map_in_arrow(
+        usable.withColumn("text_hash", F.xxhash64(F.col("text"))),
+        cfg.shingle_k, cfg.num_perm, scheme=cfg.minhash_scheme,
+        passthrough=("text_hash",),
+    )
+    uniq = staged(
         "signatures",
-        lambda: minhash_map_in_arrow(
-            uniq.select(F.col("rep_doc_id").alias("doc_id"), "text"),
-            cfg.shingle_k, cfg.num_perm, scheme=cfg.minhash_scheme,
+        lambda: raw_sigs.groupBy("text_hash").agg(
+            F.count(F.lit(1)).alias("count"),
+            F.min("doc_id").alias("rep_doc_id"),
+            F.first("minhash").alias("minhash"),
         ),
     )
     if store is None:
         # materialize once: bands, verify (two self-joins) and the fan-out
-        # all reuse the signature table — the resident-state analog of the
+        # all reuse this table — the resident-state analog of the
         # reference's trie (never recomputed per pass).
-        sigs = sigs.localCheckpoint(eager=True)
+        uniq = uniq.localCheckpoint(eager=True)
+    sigs = uniq.select(F.col("rep_doc_id").alias("doc_id"), "minhash")
 
     buckets = lsh.band_buckets(sigs, cfg)
     demoted = lsh.demoted_buckets(buckets, cfg)
@@ -122,8 +120,15 @@ def run_web_pipeline(
         if cfg.use_containment:
             from humid_spark.operators.containment import containment_pairs
 
+            # winnowing needs the representative texts; fetch them with a
+            # semi-join on doc_id (AQE broadcasts the id set at runtime
+            # when it is small)
+            rep_texts = usable.join(
+                uniq.select(F.col("rep_doc_id").alias("doc_id")),
+                "doc_id", "semi",
+            ).select("doc_id", "text")
             cont = containment_pairs(
-                uniq.select(F.col("rep_doc_id").alias("doc_id"), "text"),
+                rep_texts,
                 k=cfg.winnow_k, w=cfg.winnow_w,
                 min_share=cfg.containment_min_share,
             )

@@ -52,6 +52,10 @@ def get_spark(
         # stages downstream of a shuffle still see every core (byte-based
         # coalescing assumes JVM-cheap rows; Python stages are not)
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # let AQE broadcast joins from RUNTIME shuffle sizes (e.g. the
+        # doc->cluster map in the annotate join) — at true web scale the
+        # map exceeds this and falls back to a shuffle join automatically
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

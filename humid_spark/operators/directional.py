@@ -48,7 +48,10 @@ def _replay_factory(maximum: bool, max_nodes: int):
         _key: tuple, nodes: pd.DataFrame, edges: pd.DataFrame
     ) -> pd.DataFrame:
         counts = dict(zip(nodes["key"], nodes["count"]))
-        if len(counts) > max_nodes:
+        # Guard BOTH dimensions: a dense giant component's edge list can
+        # exceed worker memory even when its node count is under the cap
+        # (cogrouped Arrow batches materialize per group).
+        if len(counts) > max_nodes or len(edges) > 4 * max_nodes:
             seed = min(counts)
             max_key = min(counts, key=lambda k: (-counts[k], k))
             size = int(sum(counts.values()))

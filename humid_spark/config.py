@@ -49,7 +49,8 @@ class DedupConfig:
     winnow_w: int = 16
 
     # --- skew / scale safety (SURVEY.md §4.3.6) ---
-    bucket_cap: int = 2000         # max rows per LSH bucket before salted demotion
+    bucket_cap: int = 2000         # max rows per LSH bucket before demotion
+    lsh_salts: int = 8             # salt count for hot-bucket self-joins
     max_component_nodes: int = 2_000_000   # giant-component fallback threshold
     shuffle_partitions: int | None = None  # None -> session default
 

@@ -43,13 +43,22 @@ def band_buckets(sigs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id",
 
 def candidate_pairs(buckets: DataFrame, cfg: DedupConfig,
                     id_col: str = "doc_id") -> DataFrame:
-    """Within-bucket pair generation with a hard bucket cap.
+    """Within-bucket pair generation with explicit skew control:
 
-    Buckets larger than cfg.bucket_cap would contribute O(cap^2) pairs of
-    (typically) boilerplate-dominated docs; they are dropped here and
-    surfaced to the caller via lineage metrics (count the demotions, don't
-    silently hide them).
+    - size < 2                     -> no pairs (skipped)
+    - 2 <= size < salt_threshold   -> plain within-bucket self-join
+    - salt_threshold <= size <= bucket_cap -> SALTED self-join: members get
+      salt = hash(id) % S; the left side keeps its salt, the right side is
+      replicated once per partner salt, and the join key becomes
+      (band, bucket, salt) — a single hot bucket's O(size^2) comparison
+      work spreads over S shuffle partitions instead of one straggler task,
+      with the EXACT same pair set (every (i, j) salt combination meets
+      exactly once).
+    - size > bucket_cap            -> demoted (boilerplate explosion);
+      surfaced via demoted_buckets lineage, never silently hidden.
     """
+    salts = cfg.lsh_salts
+    salt_threshold = max(2, cfg.bucket_cap // 4)
     sizes = buckets.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("bucket_size")
     )
@@ -57,21 +66,40 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig,
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.bucket_cap)
     )
     pruned = buckets.join(eligible, ["band", "bucket"])
-    a = pruned.alias("a")
-    b = pruned.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("src"),
-            F.col(f"b.{id_col}").alias("dst"),
-        )
-        .distinct()
+
+    cold = pruned.filter(F.col("bucket_size") < salt_threshold)
+    a = cold.alias("a")
+    b = cold.alias("b")
+    cold_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("src"),
+        F.col(f"b.{id_col}").alias("dst"),
     )
+
+    hot = pruned.filter(F.col("bucket_size") >= salt_threshold).withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts))
+    )
+    hot_right = hot.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    ha = hot.alias("a")
+    hb = hot_right.alias("b")
+    hot_pairs = ha.join(
+        hb,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.salt") == F.col("b.salt"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("src"),
+        F.col(f"b.{id_col}").alias("dst"),
+    )
+
+    return cold_pairs.union(hot_pairs).distinct()
 
 
 def demoted_buckets(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:

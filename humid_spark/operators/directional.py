@@ -44,14 +44,15 @@ _REPLAY_SCHEMA = (
 
 
 def _replay_factory(maximum: bool, max_nodes: int):
-    def replay(
-        _key: tuple, nodes: pd.DataFrame, edges: pd.DataFrame
+    def replay_one(
+        nodes: pd.DataFrame, edges: pd.DataFrame | None
     ) -> pd.DataFrame:
         counts = dict(zip(nodes["key"], nodes["count"]))
         # Guard BOTH dimensions: a dense giant component's edge list can
         # exceed worker memory even when its node count is under the cap
         # (cogrouped Arrow batches materialize per group).
-        if len(counts) > max_nodes or len(edges) > 4 * max_nodes:
+        n_edges = 0 if edges is None else len(edges)
+        if len(counts) > max_nodes or n_edges > 4 * max_nodes:
             seed = min(counts)
             max_key = min(counts, key=lambda k: (-counts[k], k))
             size = int(sum(counts.values()))
@@ -63,9 +64,10 @@ def _replay_factory(maximum: bool, max_nodes: int):
                 oversized=True,
             )
         adj: dict[str, list[str]] = {k: [] for k in counts}
-        for s, d in zip(edges["src"], edges["dst"]):
-            adj[s].append(d)
-            adj[d].append(s)
+        if edges is not None:
+            for s, d in zip(edges["src"], edges["dst"]):
+                adj[s].append(d)
+                adj[d].append(s)
         cluster_of, clusters = cluster_greedy(counts, adj, maximum=maximum)
         ci = nodes["key"].map(cluster_of)
         return nodes.assign(
@@ -76,7 +78,26 @@ def _replay_factory(maximum: bool, max_nodes: int):
             oversized=False,
         )
 
-    return replay
+    def replay_bucket(
+        _key: tuple, nodes: pd.DataFrame, edges: pd.DataFrame
+    ) -> pd.DataFrame:
+        """One Arrow group = one hash-bucket of MANY components (batching
+        kills the per-group overhead that dominates when components are
+        numerous and tiny).  Components stay independent, so replaying them
+        in any order inside the bucket is exact."""
+        nodes = nodes.drop(columns=["rbucket"])
+        edge_groups: dict = {}
+        if len(edges):
+            edge_groups = {
+                comp: g for comp, g in edges.groupby("component", sort=False)
+            }
+        outs = [
+            replay_one(nd, edge_groups.get(comp))
+            for comp, nd in nodes.groupby("component", sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True)
+
+    return replay_bucket
 
 
 def cluster_keys(
@@ -101,9 +122,15 @@ def cluster_keys(
         .select(F.col("src_component").alias("component"), "src", "dst")
     )
     replay = _replay_factory(maximum, max_component_nodes)
+    n_buckets = 1024
+    rb = lambda c: F.pmod(F.xxhash64(c), F.lit(n_buckets))  # noqa: E731
     clustered = (
-        nodes.groupBy("component")
-        .cogroup(edges_c.groupBy("component"))
+        nodes.withColumn("rbucket", rb(F.col("component")))
+        .groupBy("rbucket")
+        .cogroup(
+            edges_c.withColumn("rbucket", rb(F.col("component")))
+            .groupBy("rbucket")
+        )
         .applyInPandas(replay, _REPLAY_SCHEMA)
     )
     seeds = clustered.select("cluster_seed").distinct()

@@ -6,9 +6,18 @@ operator library (humid_spark.*); ``oracle_sql()`` gives an independent
 ANSI-SQL formulation DuckDB executes over the same parquet tables.
 
 Key-space convention for the dedup operators: the HUMID word analog over the
-``documents`` table is key = first 24 chars of ``text`` (reference word
-length n=24, src/humid.cc:419), usable = length(text) >= 24, doc order =
+``documents`` table is key = first n chars of ``text`` (reference word
+length -n, src/humid.cc:419), usable = length(text) >= n, doc order =
 doc_id.  Hamming/edit neighbour distance m=1 (src/humid.cc:420).
+
+Two key lengths run side by side:
+- n=24 (the reference default): matches the reference CLI config exactly,
+  but the driver's word-soup documents have ZERO Hamming-1 pairs at that
+  length — the chain is correct but never merges.
+- n=12 (``*_n12`` queries): 32 real Hamming-1 pairs / 28 multi-key
+  components at sf0.01, so the neighbour join, CC merge, representative
+  contest and dedup selection are all verified against DuckDB on real
+  merges (non-vacuous oracle chain).
 """
 
 from __future__ import annotations
@@ -18,7 +27,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-N = 24  # reference word length (src/humid.cc:419)
+N = 24   # reference word length (src/humid.cc:419)
+N12 = 12 # shorter key: real Hamming-1 edges exist in the driver's documents
 P31 = (1 << 31) - 1
 MH_K = 5       # shingle size for the SQL-parity signature queries
 MH_PERMS = 8   # perms for the SQL-parity signature queries (engine uses 128)
@@ -28,45 +38,55 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _doc_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_keys(spark: SparkSession, sf_dir: str, n: int = N) -> DataFrame:
     """documents -> (doc_id, key, usable): the with_key_columns analog for
     the driver's documents table (no padding needed for the oracle pair —
-    usable rows always have >= N chars)."""
+    usable rows always have >= n chars)."""
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.substring("text", 1, N).alias("key"),
-        (F.col("text").isNotNull() & (F.length("text") >= N)).alias("usable"),
+        F.substring("text", 1, n).alias("key"),
+        (F.col("text").isNotNull() & (F.length("text") >= n)).alias("usable"),
     )
 
 
-def _uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _uniq(spark: SparkSession, sf_dir: str, n: int = N) -> DataFrame:
     """A1 exact-dup counting (humid_spark.operators.exact semantics)."""
     return (
-        _doc_keys(spark, sf_dir)
+        _doc_keys(spark, sf_dir, n)
         .filter("usable")
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("first_doc_id"))
     )
 
 
-_SQL_KEYS = (
-    "SELECT doc_id, substr(text, 1, 24) AS key FROM documents "
-    "WHERE text IS NOT NULL AND length(text) >= 24"
-)
-_SQL_UNIQ = (
-    f"SELECT key, count(*) AS cnt, min(doc_id) AS first_doc_id "
-    f"FROM ({_SQL_KEYS}) GROUP BY key"
-)
-_SQL_EDGES_H1 = (
-    f"SELECT a.key AS src, b.key AS dst "
-    f"FROM (SELECT DISTINCT key FROM ({_SQL_KEYS})) a "
-    f"JOIN (SELECT DISTINCT key FROM ({_SQL_KEYS})) b "
-    f"ON a.key < b.key AND hamming(a.key, b.key) <= 1"
-)
-# min-reachable-key connected components as a recursive CTE
-_SQL_CC = f"""
+def _sql_keys(n: int = N) -> str:
+    return (
+        f"SELECT doc_id, substr(text, 1, {n}) AS key FROM documents "
+        f"WHERE text IS NOT NULL AND length(text) >= {n}"
+    )
+
+
+def _sql_uniq(n: int = N) -> str:
+    return (
+        f"SELECT key, count(*) AS cnt, min(doc_id) AS first_doc_id "
+        f"FROM ({_sql_keys(n)}) GROUP BY key"
+    )
+
+
+def _sql_edges_h1(n: int = N) -> str:
+    return (
+        f"SELECT a.key AS src, b.key AS dst "
+        f"FROM (SELECT DISTINCT key FROM ({_sql_keys(n)})) a "
+        f"JOIN (SELECT DISTINCT key FROM ({_sql_keys(n)})) b "
+        f"ON a.key < b.key AND hamming(a.key, b.key) <= 1"
+    )
+
+
+def _sql_cc(n: int = N) -> str:
+    # min-reachable-key connected components as a recursive CTE
+    return f"""
 WITH RECURSIVE
-uk AS (SELECT DISTINCT key FROM ({_SQL_KEYS})),
+uk AS (SELECT DISTINCT key FROM ({_sql_keys(n)})),
 edges AS (
   SELECT a.key AS src, b.key AS dst FROM uk a JOIN uk b
   ON a.key <> b.key AND hamming(a.key, b.key) <= 1
@@ -80,17 +100,23 @@ SELECT key, min(comp) AS component FROM reach GROUP BY key
 """
 
 
-def _pairs_h1(spark: SparkSession, sf_dir: str) -> DataFrame:
+_SQL_KEYS = _sql_keys(N)
+_SQL_UNIQ = _sql_uniq(N)
+_SQL_EDGES_H1 = _sql_edges_h1(N)
+_SQL_CC = _sql_cc(N)
+
+
+def _pairs_h1(spark: SparkSession, sf_dir: str, n: int = N) -> DataFrame:
     from humid_spark.operators.blocking import hamming_pairs
 
-    return hamming_pairs(_uniq(spark, sf_dir).select("key"), N, 1)
+    return hamming_pairs(_uniq(spark, sf_dir, n).select("key"), n, 1)
 
 
-def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _components(spark: SparkSession, sf_dir: str, n: int = N) -> DataFrame:
     from humid_spark.operators.cc import assign_components
 
-    uniq = _uniq(spark, sf_dir)
-    return assign_components(uniq, _pairs_h1(spark, sf_dir))
+    uniq = _uniq(spark, sf_dir, n)
+    return assign_components(uniq, _pairs_h1(spark, sf_dir, n))
 
 
 def _sig_sql_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,11 +195,12 @@ def _shingle_sets_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: web-scale near-dup clustering of documents at sf0.001."""
+    """Flagship: web-scale near-dup clustering of documents at sf0.001
+    (n=12 keys so the neighbour join and CC actually merge)."""
     sf_dir = "/root/testdata/sf0.001"
-    comps = _components(spark, sf_dir)
+    comps = _components(spark, sf_dir, N12)
     return (
-        _doc_keys(spark, sf_dir)
+        _doc_keys(spark, sf_dir, N12)
         .join(comps.select("key", "component"), "key", "left")
         .select(
             "doc_id",
@@ -182,74 +209,82 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+def _best(c: DataFrame) -> DataFrame:
+    """Per-component argmax representative (max count, tie: min key).
+    min(struct(-cnt, key)) is an exact argmax with deterministic tie-break,
+    computed as one hash aggregate (no window, no extra shuffle)."""
+    return c.groupBy("component").agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("key").alias("key"))
+        ).alias("b")
+    )
+
+
+def _register_dedup_chain(
+    q: dict[str, Callable[[SparkSession, str], DataFrame]],
+    n: int,
+    suffix: str,
+) -> None:
+    """The full exact-count -> neighbour-join -> CC -> stats/sinks chain at
+    key length `n`.  Registered twice: n=24 (reference config; vacuous on
+    the driver's word-soup docs) and n=12 (real merges at sf0.01)."""
 
     # --- A1: exact-dup counting (the trie insert) ---
-    q["exact_dup_counts"] = lambda s, d: _uniq(s, d)
+    q[f"exact_dup_counts{suffix}"] = lambda s, d: _uniq(s, d, n)
 
     # --- A4: count histogram (counts.dat) ---
-    q["count_histogram"] = lambda s, d: (
-        _uniq(s, d).groupBy(F.col("cnt").alias("multiplicity"))
+    q[f"count_histogram{suffix}"] = lambda s, d: (
+        _uniq(s, d, n).groupBy(F.col("cnt").alias("multiplicity"))
         .agg(F.count(F.lit(1)).alias("frequency"))
     )
 
     # --- J1: Hamming-1 self-join via pigeonhole chunk blocking ---
-    q["hamming1_pairs"] = lambda s, d: _pairs_h1(s, d)
+    q[f"hamming1_pairs{suffix}"] = lambda s, d: _pairs_h1(s, d, n)
 
     # --- J2: edit-distance-1 self-join (PassJoin-style shifts) ---
     def edit1(s, d):
         from humid_spark.operators.blocking import edit_pairs
 
-        return edit_pairs(_uniq(s, d).select("key"), N, 1)
+        return edit_pairs(_uniq(s, d, n).select("key"), n, 1)
 
-    q["edit1_pairs"] = edit1
+    q[f"edit1_pairs{suffix}"] = edit1
 
     # --- A5: neighbour histogram (neigh.dat), zero-degree keys included ---
     def neigh_hist(s, d):
         from humid_spark.operators.stats import neighbour_histogram
 
-        return neighbour_histogram(_uniq(s, d), _pairs_h1(s, d))
+        return neighbour_histogram(_uniq(s, d, n), _pairs_h1(s, d, n))
 
-    q["neighbour_histogram"] = neigh_hist
+    q[f"neighbour_histogram{suffix}"] = neigh_hist
 
     # --- G1: connected components (large-star/small-star) ---
-    q["components"] = lambda s, d: _components(s, d).select("key", "component")
+    q[f"components{suffix}"] = lambda s, d: (
+        _components(s, d, n).select("key", "component")
+    )
 
     # --- A6: cluster size histogram (sum of member counts per component) ---
-    q["cluster_size_histogram"] = lambda s, d: (
-        _components(s, d)
+    q[f"cluster_size_histogram{suffix}"] = lambda s, d: (
+        _components(s, d, n)
         .groupBy("component")
         .agg(F.sum("cnt").alias("size"))
         .groupBy("size")
         .agg(F.count(F.lit(1)).alias("frequency"))
     )
 
-    # --- A8: per-cluster argmax representative (max count, tie: min key).
-    # min(struct(-cnt, key)) is an exact argmax with deterministic tie-break,
-    # computed as one hash aggregate (no window, no extra shuffle). ---
-    def _best(c):
-        return c.groupBy("component").agg(
-            F.min(
-                F.struct(
-                    (-F.col("cnt")).alias("neg_cnt"), F.col("key").alias("key")
-                )
-            ).alias("b")
-        )
-
+    # --- A8: per-cluster argmax representative ---
     def reps(s, d):
-        best = _best(_components(s, d))
+        best = _best(_components(s, d, n))
         return best.select(
             "component",
             F.col("b.key").alias("rep_key"),
             (-F.col("b.neg_cnt")).cast("long").alias("rep_cnt"),
         )
 
-    q["representatives"] = reps
+    q[f"representatives{suffix}"] = reps
 
     # --- K1: dedup output (first doc of the representative key) ---
     def dedup_keep(s, d):
-        c = _components(s, d)
+        c = _components(s, d, n)
         best = _best(c).select(
             F.col("component").alias("bcomponent"), F.col("b.key").alias("rep_key")
         )
@@ -261,13 +296,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("first_doc_id").alias("doc_id"))
         )
 
-    q["dedup_keep"] = dedup_keep
+    q[f"dedup_keep{suffix}"] = dedup_keep
 
     # --- K2/J3: annotate every doc with its cluster (point-lookup join) ---
     def annotate(s, d):
-        comps = _components(s, d).select("key", "component")
+        comps = _components(s, d, n).select("key", "component")
         return (
-            _doc_keys(s, d)
+            _doc_keys(s, d, n)
             .join(comps, "key", "left")
             .select(
                 "doc_id",
@@ -276,7 +311,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
-    q["annotate"] = annotate
+    q[f"annotate{suffix}"] = annotate
+
+
+def _register_dedup_chain_sql(o: dict[str, str], n: int, suffix: str) -> None:
+    """DuckDB oracles for the chain registered by _register_dedup_chain."""
+    o[f"exact_dup_counts{suffix}"] = _sql_uniq(n)
+
+    o[f"count_histogram{suffix}"] = (
+        f"SELECT cnt AS multiplicity, count(*) AS frequency "
+        f"FROM ({_sql_uniq(n)}) GROUP BY cnt"
+    )
+
+    o[f"hamming1_pairs{suffix}"] = _sql_edges_h1(n)
+
+    o[f"edit1_pairs{suffix}"] = (
+        f"SELECT a.key AS src, b.key AS dst "
+        f"FROM (SELECT DISTINCT key FROM ({_sql_keys(n)})) a "
+        f"JOIN (SELECT DISTINCT key FROM ({_sql_keys(n)})) b "
+        f"ON a.key < b.key AND levenshtein(a.key, b.key) <= 1"
+    )
+
+    o[f"neighbour_histogram{suffix}"] = f"""
+        WITH uk AS (SELECT DISTINCT key FROM ({_sql_keys(n)})),
+        e AS (SELECT src AS key FROM ({_sql_edges_h1(n)})
+              UNION ALL SELECT dst FROM ({_sql_edges_h1(n)})),
+        deg AS (SELECT uk.key, count(e.key) AS degree
+                FROM uk LEFT JOIN e ON uk.key = e.key GROUP BY uk.key)
+        SELECT degree, count(*) AS frequency FROM deg GROUP BY degree
+    """
+
+    o[f"components{suffix}"] = _sql_cc(n)
+
+    o[f"cluster_size_histogram{suffix}"] = f"""
+        WITH cc AS ({_sql_cc(n)}), u AS ({_sql_uniq(n)}),
+        sizes AS (SELECT cc.component, CAST(sum(u.cnt) AS BIGINT) AS size
+                  FROM cc JOIN u ON cc.key = u.key GROUP BY cc.component)
+        SELECT size, count(*) AS frequency FROM sizes GROUP BY size
+    """
+
+    o[f"representatives{suffix}"] = f"""
+        WITH cc AS ({_sql_cc(n)}), u AS ({_sql_uniq(n)}),
+        j AS (SELECT cc.component, u.key, u.cnt FROM cc JOIN u ON cc.key = u.key),
+        r AS (SELECT component, key, cnt,
+                     row_number() OVER (PARTITION BY component
+                                        ORDER BY cnt DESC, key) AS rn
+              FROM j)
+        SELECT component, key AS rep_key, cnt AS rep_cnt FROM r WHERE rn = 1
+    """
+
+    o[f"dedup_keep{suffix}"] = f"""
+        WITH cc AS ({_sql_cc(n)}), u AS ({_sql_uniq(n)}),
+        j AS (SELECT cc.component, u.key, u.cnt, u.first_doc_id
+              FROM cc JOIN u ON cc.key = u.key),
+        r AS (SELECT first_doc_id,
+                     row_number() OVER (PARTITION BY component
+                                        ORDER BY cnt DESC, key) AS rn
+              FROM j)
+        SELECT first_doc_id AS doc_id FROM r WHERE rn = 1
+    """
+
+    o[f"annotate{suffix}"] = f"""
+        WITH cc AS ({_sql_cc(n)})
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NOT NULL AND length(d.text) >= {n}
+                    THEN coalesce(cc.key_comp, '') ELSE '' END AS cluster
+        FROM (SELECT doc_id, text, substr(text, 1, {n}) AS key FROM documents) d
+        LEFT JOIN (SELECT key, component AS key_comp FROM cc) cc ON d.key = cc.key
+    """
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    # Reference-default key length (n=24) ...
+    _register_dedup_chain(q, N, "")
+    # ... and the non-vacuous n=12 chain: real Hamming-1 merges at sf0.01,
+    # so CC/representative/dedup semantics are checked on actual clusters.
+    _register_dedup_chain(q, N12, "_n12")
 
     # --- A7: scalar stats ---
     def scalar_stats(s, d):
@@ -510,75 +622,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["directional_clusters"] = directional
 
+    # --- G1/-x: MAXIMUM clustering at n=12 — flood fill covers the whole
+    #     connected component (src/cluster.cc:72-80), so membership, size
+    #     and the global seed-rank id are all SQL-expressible: cluster =
+    #     component, id = rank of component min-key.  Runs the REAL engine
+    #     path (per-component greedy replay in applyInPandas + global seed
+    #     rank) against that independent formulation — non-vacuous since
+    #     n=12 has 28 multi-key components at sf0.01. ---
+    def max_clusters_n12(s, d):
+        from humid_spark.operators.directional import cluster_keys
+
+        uniq = _uniq(s, d, N12).select(
+            "key", F.col("cnt").alias("count"),
+            F.lit(None).cast("timestamp").alias("first_ts"),
+            F.col("first_doc_id").cast("string").alias("first_url"),
+        )
+        return cluster_keys(uniq, _pairs_h1(s, d, N12), maximum=True).select(
+            "key", "cluster_id", "cluster_size"
+        )
+
+    q["max_clusters_n12"] = max_clusters_n12
+
+    # --- G2 invariants: the directional greedy is sequential (not SQL-
+    #     expressible), but its OUTPUT obeys hard invariants DuckDB can pin:
+    #     clusters partition the keys (size_sum == total_count), every
+    #     cluster stays inside one connected component, cluster_size /
+    #     max_key / max_count / seed are internally consistent, ids are
+    #     dense from 1.  The Spark side measures violation counts on the
+    #     real replay output; the oracle states the expected constants. ---
+    def directional_invariants_n12(s, d):
+        from humid_spark.operators.directional import cluster_keys
+
+        uniq = _uniq(s, d, N12).select(
+            "key", F.col("cnt").alias("count"),
+            F.lit(None).cast("timestamp").alias("first_ts"),
+            F.col("first_doc_id").cast("string").alias("first_url"),
+        )
+        cl = cluster_keys(uniq, _pairs_h1(s, d, N12))
+        per = cl.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count_distinct("component").alias("n_comp"),
+            F.max("cluster_size").alias("sz_max"),
+            F.min("cluster_size").alias("sz_min"),
+            F.sum("count").alias("cnt_sum"),
+            F.count_distinct("max_key").alias("n_maxkey"),
+            F.max(
+                F.when(F.col("key") == F.col("max_key"), F.col("count"))
+            ).alias("maxkey_cnt"),
+            F.max("max_count").alias("mc"),
+            F.max("count").alias("member_max_cnt"),
+            F.max(
+                F.when(F.col("key") == F.col("cluster_seed"), 1).otherwise(0)
+            ).alias("seed_member"),
+        )
+        return per.agg(
+            F.sum("n_members").cast("long").alias("n_keys"),
+            F.sum("cnt_sum").cast("long").alias("total_count"),
+            F.sum("sz_max").cast("long").alias("size_sum"),
+            (
+                (F.min("cluster_id") == 1)
+                & (F.max("cluster_id") == F.count(F.lit(1)))
+            ).alias("ids_dense"),
+            F.count_if(F.col("n_comp") > 1).alias("cross_component"),
+            F.count_if(
+                (F.col("sz_max") != F.col("sz_min"))
+                | (F.col("cnt_sum") != F.col("sz_max"))
+            ).alias("size_bad"),
+            F.count_if(
+                (F.col("n_maxkey") != 1)
+                | F.col("maxkey_cnt").isNull()
+                | (F.col("maxkey_cnt") != F.col("mc"))
+                | (F.col("mc") != F.col("member_max_cnt"))
+            ).alias("maxkey_bad"),
+            F.count_if(F.col("seed_member") == 0).alias("seed_bad"),
+        )
+
+    q["directional_invariants_n12"] = directional_invariants_n12
+
     return q
 
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
-    o["exact_dup_counts"] = _SQL_UNIQ
-
-    o["count_histogram"] = (
-        f"SELECT cnt AS multiplicity, count(*) AS frequency "
-        f"FROM ({_SQL_UNIQ}) GROUP BY cnt"
-    )
-
-    o["hamming1_pairs"] = _SQL_EDGES_H1
-
-    o["edit1_pairs"] = (
-        f"SELECT a.key AS src, b.key AS dst "
-        f"FROM (SELECT DISTINCT key FROM ({_SQL_KEYS})) a "
-        f"JOIN (SELECT DISTINCT key FROM ({_SQL_KEYS})) b "
-        f"ON a.key < b.key AND levenshtein(a.key, b.key) <= 1"
-    )
-
-    o["neighbour_histogram"] = f"""
-        WITH uk AS (SELECT DISTINCT key FROM ({_SQL_KEYS})),
-        e AS (SELECT src AS key FROM ({_SQL_EDGES_H1})
-              UNION ALL SELECT dst FROM ({_SQL_EDGES_H1})),
-        deg AS (SELECT uk.key, count(e.key) AS degree
-                FROM uk LEFT JOIN e ON uk.key = e.key GROUP BY uk.key)
-        SELECT degree, count(*) AS frequency FROM deg GROUP BY degree
-    """
-
-    o["components"] = _SQL_CC
-
-    o["cluster_size_histogram"] = f"""
-        WITH cc AS ({_SQL_CC}), u AS ({_SQL_UNIQ}),
-        sizes AS (SELECT cc.component, CAST(sum(u.cnt) AS BIGINT) AS size
-                  FROM cc JOIN u ON cc.key = u.key GROUP BY cc.component)
-        SELECT size, count(*) AS frequency FROM sizes GROUP BY size
-    """
-
-    o["representatives"] = f"""
-        WITH cc AS ({_SQL_CC}), u AS ({_SQL_UNIQ}),
-        j AS (SELECT cc.component, u.key, u.cnt FROM cc JOIN u ON cc.key = u.key),
-        r AS (SELECT component, key, cnt,
-                     row_number() OVER (PARTITION BY component
-                                        ORDER BY cnt DESC, key) AS rn
-              FROM j)
-        SELECT component, key AS rep_key, cnt AS rep_cnt FROM r WHERE rn = 1
-    """
-
-    o["dedup_keep"] = f"""
-        WITH cc AS ({_SQL_CC}), u AS ({_SQL_UNIQ}),
-        j AS (SELECT cc.component, u.key, u.cnt, u.first_doc_id
-              FROM cc JOIN u ON cc.key = u.key),
-        r AS (SELECT first_doc_id,
-                     row_number() OVER (PARTITION BY component
-                                        ORDER BY cnt DESC, key) AS rn
-              FROM j)
-        SELECT first_doc_id AS doc_id FROM r WHERE rn = 1
-    """
-
-    o["annotate"] = f"""
-        WITH cc AS ({_SQL_CC})
-        SELECT d.doc_id,
-               CASE WHEN d.text IS NOT NULL AND length(d.text) >= 24
-                    THEN coalesce(cc.key_comp, '') ELSE '' END AS cluster
-        FROM (SELECT doc_id, text, substr(text, 1, 24) AS key FROM documents) d
-        LEFT JOIN (SELECT key, component AS key_comp FROM cc) cc ON d.key = cc.key
-    """
+    _register_dedup_chain_sql(o, N, "")
+    _register_dedup_chain_sql(o, N12, "_n12")
 
     o["scalar_stats"] = (
         "SELECT count(*) AS total, "
@@ -685,6 +813,33 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY dot / (qn * cn) DESC, cid) AS rank
               FROM dots)
         SELECT qid, cid, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+    """
+
+    o["max_clusters_n12"] = f"""
+        WITH cc AS ({_sql_cc(N12)}), u AS ({_sql_uniq(N12)}),
+        j AS (SELECT cc.key, cc.component, u.cnt
+              FROM cc JOIN u ON cc.key = u.key),
+        sz AS (SELECT component, CAST(sum(cnt) AS BIGINT) AS cluster_size
+               FROM j GROUP BY component),
+        ids AS (SELECT component,
+                       CAST(dense_rank() OVER (ORDER BY component) AS BIGINT)
+                         AS cluster_id
+                FROM sz)
+        SELECT j.key, ids.cluster_id, sz.cluster_size
+        FROM j JOIN sz ON j.component = sz.component
+               JOIN ids ON j.component = ids.component
+    """
+
+    o["directional_invariants_n12"] = f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(cnt) AS BIGINT) AS total_count,
+               CAST(sum(cnt) AS BIGINT) AS size_sum,
+               true AS ids_dense,
+               CAST(0 AS BIGINT) AS cross_component,
+               CAST(0 AS BIGINT) AS size_bad,
+               CAST(0 AS BIGINT) AS maxkey_bad,
+               CAST(0 AS BIGINT) AS seed_bad
+        FROM ({_sql_uniq(N12)})
     """
 
     # simhash_near_dups intentionally omitted: the 64-bit engine fingerprint

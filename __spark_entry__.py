@@ -32,6 +32,10 @@ N12 = 12 # shorter key: real Hamming-1 edges exist in the driver's documents
 P31 = (1 << 31) - 1
 MH_K = 5       # shingle size for the SQL-parity signature queries
 MH_PERMS = 8   # perms for the SQL-parity signature queries (engine uses 128)
+MH_BAND_R = 4  # rows per band (2 bands): r=2 was near-all-pairs on the
+               # shared-vocabulary word-soup docs (3.1M candidates at sf0.1,
+               # J^2 collision prob); r=4 keeps the banding selective so the
+               # exact-Jaccard verify runs on a real candidate set
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -119,15 +123,29 @@ def _components(spark: SparkSession, sf_dir: str, n: int = N) -> DataFrame:
     return assign_components(uniq, _pairs_h1(spark, sf_dir, n))
 
 
-def _sig_sql_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from humid_spark.functions.signatures import minhash_sql_spark
+def _sig_shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh, h0..h7) materialized ONCE — the md5 shingle transform is
+    the expensive projection; checkpointing it keeps the 4 band self-joins
+    and the Jaccard verify from re-deriving it ~10x per doc."""
+    from humid_spark.functions.signatures import sql_parity_sig_table
 
-    sig = minhash_sql_spark("text", MH_K, MH_PERMS)
-    df = _t(spark, sf_dir, "documents").select(
-        "doc_id", sig.alias("sig")
+    # The driver parquet is a single row-group: without an explicit
+    # repartition the md5-per-shingle projection (the expensive part)
+    # materializes on ONE core and every downstream join inherits 1
+    # partition.
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    cols = [F.col("sig").getItem(j).alias(f"h{j}") for j in range(MH_PERMS)]
-    return df.select("doc_id", *cols)
+    tbl = sql_parity_sig_table(docs, MH_K, MH_PERMS)
+    return tbl.localCheckpoint(eager=True)
+
+
+def _sig_sql_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from humid_spark.functions.signatures import sql_parity_sig_table
+
+    return sql_parity_sig_table(
+        _t(spark, sf_dir, "documents"), MH_K, MH_PERMS
+    ).drop("sh")
 
 
 def _sig_sql_duck() -> str:
@@ -141,15 +159,19 @@ def _sig_sql_duck() -> str:
     )
 
 
-def _band_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = _sig_sql_spark(spark, sf_dir)
+def _band_join_spark(
+    spark: SparkSession, sf_dir: str, sigs: DataFrame | None = None
+) -> DataFrame:
+    if sigs is None:
+        sigs = _sig_shingle_table(spark, sf_dir).drop("sh")
+    r = MH_BAND_R
     outs = []
-    for b in range(MH_PERMS // 2):
-        h0, h1 = f"h{2 * b}", f"h{2 * b + 1}"
-        a = sigs.select(F.col("doc_id").alias("src"), h0, h1)
-        c = sigs.select(F.col("doc_id").alias("dst"), h0, h1)
+    for b in range(MH_PERMS // r):
+        hs = [f"h{r * b + i}" for i in range(r)]
+        a = sigs.select(F.col("doc_id").alias("src"), *hs)
+        c = sigs.select(F.col("doc_id").alias("dst"), *hs)
         outs.append(
-            a.join(c, [h0, h1]).filter(F.col("src") < F.col("dst"))
+            a.join(c, hs).filter(F.col("src") < F.col("dst"))
             .select("src", "dst")
         )
     pairs = outs[0]
@@ -159,9 +181,12 @@ def _band_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _band_join_duck() -> str:
+    r = MH_BAND_R
     bands = " OR ".join(
-        f"(a.h{2 * b} = b.h{2 * b} AND a.h{2 * b + 1} = b.h{2 * b + 1})"
-        for b in range(MH_PERMS // 2)
+        "(" + " AND ".join(
+            f"a.h{r * b + i} = b.h{r * b + i}" for i in range(r)
+        ) + ")"
+        for b in range(MH_PERMS // r)
     )
     return (
         f"SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst "
@@ -176,18 +201,6 @@ _SQL_SHINGLES = (
     f"i -> cast(('0x' || substr(md5(substring(text, i, {MH_K})), 1, 14)) as bigint) % {P31}"
     f")) AS sh FROM documents WHERE text IS NOT NULL"
 )
-
-
-def _shingle_sets_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = (
-        f"array_distinct(transform("
-        f"sequence(1, greatest(1, length(text) - {MH_K - 1})), "
-        f"i -> cast(conv(substr(md5(substring(text, i, {MH_K})), 1, 14), 16, 10) as bigint) % {P31}"
-        f"))"
-    )
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(sh).alias("sh")
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -416,10 +429,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- LSH band join on the SQL-parity signatures ---
     q["lsh_band_pairs"] = lambda s, d: _band_join_spark(s, d)
 
-    # --- exact n-gram Jaccard verification on banded candidates ---
+    # --- exact n-gram Jaccard verification on banded candidates (one
+    #     materialized signature+shingle table feeds BOTH the band joins
+    #     and the verify — no recompute of the md5 transform) ---
     def jaccard(s, d):
-        pairs = _band_join_spark(s, d)
-        sh = _shingle_sets_spark(s, d)
+        tbl = _sig_shingle_table(s, d)
+        # AQE coalesces the narrow (src,dst) candidate table to ~2
+        # partitions by BYTES, but the per-row verify cost is the array
+        # intersect of two ~|doc| shingle sets — compute-bound, not
+        # byte-bound.  Spread it explicitly.
+        pairs = _band_join_spark(s, d, sigs=tbl.drop("sh")).repartition(
+            s.sparkContext.defaultParallelism
+        )
+        sh = tbl.select("doc_id", "sh")
         a = sh.select(F.col("doc_id").alias("src"), F.col("sh").alias("sh_a"))
         b = sh.select(F.col("doc_id").alias("dst"), F.col("sh").alias("sh_b"))
         inter = F.size(F.array_intersect("sh_a", "sh_b"))

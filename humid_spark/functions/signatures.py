@@ -301,24 +301,31 @@ def _sql_perm_coeffs(num_perm: int) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_sql_spark(text_col: str, k: int, num_perm: int) -> Column:
-    """MinHash as pure built-in expressions (scales via codegen; used for
-    oracle-checked queries)."""
+def sql_parity_sig_table(docs, k: int, num_perm: int,
+                         id_col: str = "doc_id", text_col: str = "text"):
+    """(id, sh, h0..h{num_perm-1}): distinct md5-shingle array plus the
+    per-permutation minima, all built-in expressions.
+
+    The md5-per-shingle transform is the expensive projection of the SQL
+    parity path.  Callers that fan out (band self-joins, Jaccard verify)
+    must materialize this ONCE (``.localCheckpoint(eager=True)``) — without
+    that, each of B band self-joins recomputes the transform on both sides
+    (2B×/doc) and the verify twice more.  Minima over the distinct shingle
+    set equal minima over the raw multiset, so one table serves both the
+    signature and the exact-Jaccard consumers."""
     shingles = (
-        f"transform(sequence(1, greatest(1, length({text_col}) - {k - 1})),"
-        f" i -> cast(conv(substr(md5(substring({text_col}, i, {k})), 1, 14), 16, 10) as bigint) % {P31})"
+        f"array_distinct(transform("
+        f"sequence(1, greatest(1, length({text_col}) - {k - 1})),"
+        f" i -> cast(conv(substr(md5(substring({text_col}, i, {k})), 1, 14), 16, 10) as bigint) % {P31}))"
     )
-    mins = ", ".join(
-        f"array_min(transform(sh, h -> ((h * {a}L) % {P31} + {b}L) % {P31}))"
-        for a, b in _sql_perm_coeffs(num_perm)
-    )
-    return F.expr(
-        f"with_shingles(array({mins}))"
-    ) if False else F.expr(
-        # bind the shingle array once via a lateral-free trick: transform over
-        # a 1-element array to create a local scope
-        f"transform(array({shingles}), sh -> array({mins}))[0]"
-    )
+    df = docs.select(id_col, F.expr(shingles).alias("sh"))
+    mins = [
+        F.expr(
+            f"array_min(transform(sh, h -> ((h * {a}L) % {P31} + {b}L) % {P31}))"
+        ).alias(f"h{j}")
+        for j, (a, b) in enumerate(_sql_perm_coeffs(num_perm))
+    ]
+    return df.select(id_col, "sh", *mins)
 
 
 def minhash_sql_duckdb(text_col: str, k: int, num_perm: int) -> str:

@@ -36,8 +36,18 @@ class DedupConfig:
     # --- web-scale signature config (engine mode, SURVEY.md §7.2 M2-3) ---
     shingle_k: int = 5
     num_perm: int = 128
-    minhash_scheme: str = "oph"    # "oph" (fast, bandwidth-bound) | "kperm"
-                                   # (classic k-permutation, compute-bound)
+    minhash_scheme: str = "kperm"  # "kperm" (classic k-permutation,
+                                   # compute-bound): the shipped default —
+                                   # it PASSES the north_rule's measured
+                                   # N->4N scaling-efficiency >= 0.8 gate
+                                   # (BENCH/scaling.json).  "oph"
+                                   # (one-permutation + densification) is
+                                   # the absolute-throughput opt-in: ~4x
+                                   # faster per byte, but on a single box
+                                   # it saturates the memory bus by 8
+                                   # cores, so the measured single-host
+                                   # efficiency reflects the bandwidth
+                                   # ceiling, not the plan (BENCH/BASELINE.md).
     lsh_bands: int = 16            # bands * rows_per_band == num_perm
     jaccard_threshold: float = 0.8
     simhash_bits: int = 64

@@ -104,7 +104,9 @@ def cluster_keys(
     uniq: DataFrame,
     pairs: DataFrame,
     maximum: bool = False,
-    max_component_nodes: int = 200_000,
+    # same default as DedupConfig.max_component_nodes — callers bypassing
+    # the config must not silently get a different giant-component cap
+    max_component_nodes: int = 2_000_000,
 ) -> DataFrame:
     """uniq(key,count,first_ts,first_url) + once-per-pair edges(src,dst)
     -> one row per key:

@@ -122,7 +122,9 @@ def simhash64(text: str | None, k: int) -> int:
         return 0
     mixed = _mix64(sh)
     bits = np.unpackbits(mixed.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-    votes = bits.sum(axis=0) * 2 - len(mixed)  # (+1/-1 majority per bit)
+    # signed votes: bits.sum() yields uint64, where a negative majority
+    # would wrap positive and flip the bit (round-1 bug)
+    votes = bits.sum(axis=0).astype(np.int64) * 2 - len(mixed)
     word = np.packbits(votes > 0, bitorder="little").view(np.uint64)[0]
     return int(word.astype(np.int64))  # wrap to signed for LongType
 
@@ -136,18 +138,66 @@ def make_minhash_udf(shingle_k: int, num_perm: int, seed: int = 42,
         # 31-bit slots -> array<int>: halves every signature shuffle/join
         @pandas_udf(T.ArrayType(T.IntegerType()))
         def minhash_udf(texts: pd.Series) -> pd.Series:
-            return texts.map(
-                lambda t: oph_signature(t, shingle_k, num_perm)
-                .astype(np.int32).tolist()
-            )
+            sig = oph_signatures_batch(texts.tolist(), shingle_k, num_perm)
+            return pd.Series(sig.tolist())
     else:
-        a, b = _coeffs(num_perm, seed)
 
         @pandas_udf(T.ArrayType(T.LongType()))
         def minhash_udf(texts: pd.Series) -> pd.Series:
-            return texts.map(lambda t: minhash_signature(t, shingle_k, a, b))
+            sig = kperm_signatures_batch(
+                texts.tolist(), shingle_k, num_perm, seed
+            )
+            return pd.Series(sig.astype(np.int64).tolist())
 
     return minhash_udf
+
+
+def concat_poly_hashes(
+    texts: list[str | None], k: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """All k-shingle polynomial hashes of a whole batch in ONE pass.
+
+    Concatenates the batch into a single byte buffer, computes every
+    k-window's polynomial hash mod P31 with k shifted multiply-adds (numpy
+    has no BLAS path for ints — a matmul is ~60x slower), and drops windows
+    that cross a document boundary.  Returns (hashes, doc_of, n_docs) with
+    hashes grouped by document in position order — the shared front end of
+    every batched signature (OPH MinHash, SimHash, winnowing).  Per-doc
+    values are bit-identical to ``shingle_hashes`` (before its unique)."""
+    bufs = [t.encode("utf-8") if t else b"" for t in texts]
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+    n = len(bufs)
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    if len(data) < k:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), n)
+    starts = np.concatenate(([0], np.cumsum(lens)))
+    powers = np.empty(k, dtype=np.int64)
+    p = 1
+    for i in range(k - 1, -1, -1):
+        powers[i] = p
+        p = (p * _BASE) % P31
+    # values stay < 2^42 before the final mod so no overflow.  One widening
+    # pass, then in-place ops: this stage is memory-bandwidth-bound, so
+    # every avoided temporary matters.
+    m = len(data) - k + 1
+    d64 = data.astype(np.int64)
+    acc = d64[0:m] * powers[0]
+    tmp = np.empty(m, dtype=np.int64)
+    for i in range(1, k):
+        np.multiply(d64[i:i + m], powers[i], out=tmp)
+        np.add(acc, tmp, out=acc)
+    np.mod(acc, P31, out=acc)
+    # doc of window w = doc of byte w; windows crossing a doc boundary are
+    # invalid — exactly the last k-1 window slots of every doc, so scatter
+    # those few positions into a mask instead of materializing per-window
+    # doc-end arrays (2x less traffic on this bandwidth-bound stage)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)[:m]
+    valid = np.ones(m, dtype=bool)
+    tail = starts[1:, None] - np.arange(k - 1, 0, -1)[None, :]  # (n, k-1)
+    tail = tail.reshape(-1)
+    tail = tail[(tail >= 0) & (tail < m)]
+    valid[tail] = False
+    return acc[valid], doc_of[valid], n
 
 
 def oph_signatures_batch(texts: list[str | None], k: int, num_perm: int) -> np.ndarray:
@@ -155,45 +205,14 @@ def oph_signatures_batch(texts: list[str | None], k: int, num_perm: int) -> np.n
     polynomial-hash pass, one scatter-min — instead of a per-doc Python
     loop.  Returns an (n_docs, num_perm) int32 matrix (empty/short docs get
     the P31 sentinel row).  ~5-8x the per-doc path."""
-    bufs = [t.encode("utf-8") if t else b"" for t in texts]
-    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
-    n = len(bufs)
+    hashes, doc_of, n = concat_poly_hashes(texts, k)
     sig = np.full((n, num_perm), np.iinfo(np.int64).max, dtype=np.int64)
-    if lens.sum() >= k:
-        data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
-        starts = np.concatenate(([0], np.cumsum(lens)))
-        powers = np.empty(k, dtype=np.int64)
-        p = 1
-        for i in range(k - 1, -1, -1):
-            powers[i] = p
-            p = (p * _BASE) % P31
-        if len(data) >= k:
-            # k shifted multiply-adds instead of an integer matmul (numpy
-            # has no BLAS path for ints -> 60x slower); values stay < 2^42
-            # before the final mod so no overflow.  One widening pass, then
-            # in-place ops: this stage is memory-bandwidth-bound, so every
-            # avoided temporary matters.
-            m = len(data) - k + 1
-            d64 = data.astype(np.int64)
-            acc = d64[0:m] * powers[0]
-            tmp = np.empty(m, dtype=np.int64)
-            for i in range(1, k):
-                np.multiply(d64[i:i + m], powers[i], out=tmp)
-                np.add(acc, tmp, out=acc)
-            np.mod(acc, P31, out=acc)
-            hashes = acc
-            # doc of window w = doc of byte w; windows crossing a doc
-            # boundary are invalid (repeat-based, no searchsorted)
-            doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)[:m]
-            ends = np.repeat(starts[1:], lens)[:m]
-            valid = np.arange(m, dtype=np.int64) + k <= ends
-            hashes = hashes[valid]
-            doc_of = doc_of[valid]
-            mixed = _mix64(hashes)
-            buckets = (mixed % np.uint64(num_perm)).astype(np.int64)
-            vals = (mixed >> np.uint64(33)).astype(np.int64)
-            flat_idx = doc_of * num_perm + buckets
-            np.minimum.at(sig.reshape(-1), flat_idx, vals)
+    if hashes.size:
+        mixed = _mix64(hashes)
+        buckets = (mixed % np.uint64(num_perm)).astype(np.int64)
+        vals = (mixed >> np.uint64(33)).astype(np.int64)
+        flat_idx = doc_of * num_perm + buckets
+        np.minimum.at(sig.reshape(-1), flat_idx, vals)
     # densification, vectorized across the batch: for each doc, empty slots
     # borrow the nearest filled slot to the left (circular) plus distance
     empty = sig == np.iinfo(np.int64).max
@@ -219,12 +238,68 @@ def kperm_signatures_batch(texts: list[str | None], k: int, num_perm: int,
                            seed: int = 42) -> np.ndarray:
     """Classic k-permutation MinHash over a batch (compute-bound: num_perm
     multiply-mods per shingle — scales with cores where OPH saturates the
-    memory bus)."""
+    memory bus).
+
+    Batched like oph_signatures_batch: one concatenated hash pass, then per
+    permutation one whole-batch universal hash + segment-min
+    (np.minimum.reduceat over the doc boundaries — doc_of is grouped).
+    Bit-identical to the per-doc ``minhash_signature`` path (duplicate
+    shingles can't change a min)."""
     a, b = _coeffs(num_perm, seed)
-    out = np.empty((len(texts), num_perm), dtype=np.int32)
-    for i, t in enumerate(texts):
-        out[i] = np.asarray(minhash_signature(t, k, a, b), dtype=np.int64) \
-            .astype(np.int32, casting="unsafe")
+    hashes, doc_of, n = concat_poly_hashes(texts, k)
+    out = np.full((n, num_perm), P31, dtype=np.int64)
+    if hashes.size:
+        seg_starts = np.flatnonzero(np.diff(doc_of, prepend=-1))
+        present = doc_of[seg_starts]
+        # One whole-batch universal hash + segment-min per permutation.
+        # (A Mersenne-fold mod replacement and L2 cache blocking were both
+        # tried: the folds' 12 memory-bound passes lose to np.mod's
+        # compute-dominated idiv once the interleaved reduceat/scatter
+        # evicts the cache, and smaller chunks drown in numpy dispatch
+        # overhead.  The simple form is the measured winner and keeps the
+        # stage compute-bound per core — which is what makes kperm the
+        # scheme that scales with executors.)
+        vals = np.empty_like(hashes)
+        for j in range(num_perm):
+            np.multiply(hashes, a[j], out=vals)
+            np.mod(vals, P31, out=vals)
+            np.add(vals, b[j], out=vals)
+            np.mod(vals, P31, out=vals)
+            out[present, j] = np.minimum.reduceat(vals, seg_starts)
+    return out.astype(np.int32, casting="unsafe")
+
+
+def simhash_batch(texts: list[str | None], k: int) -> np.ndarray:
+    """Vectorized SimHash over a whole batch — bit-identical to the per-doc
+    ``simhash64`` path.  One concatenated hash pass, per-doc shingle dedup
+    via one sort (unique of doc_id*2^31 + hash), then per-bit majority votes
+    as segment sums (np.add.reduceat) instead of a per-doc Python loop."""
+    hashes, doc_of, n = concat_poly_hashes(texts, k)
+    out = np.zeros(n, dtype=np.int64)
+    if not hashes.size:
+        return out
+    # per-doc unique shingles, preserving doc grouping (simhash64 votes
+    # over the unique shingle set — duplicates would bias the majority)
+    combined = np.unique(doc_of * np.int64(1 << 31) + hashes)
+    doc_u = combined >> np.int64(31)
+    hash_u = combined & np.int64((1 << 31) - 1)
+    mixed = _mix64(hash_u)
+    seg_starts = np.flatnonzero(np.diff(doc_u, prepend=-1))
+    present = doc_u[seg_starts]
+    seg_len = np.diff(np.append(seg_starts, len(doc_u)))
+    # per-bit majority as 64 contiguous bit-plane passes (an unpackbits
+    # (m, 64) matrix + axis-0 reduceat is column-strided — measured 30x
+    # slower — and overflows uint8 segment sums past 255 shingles)
+    words = np.zeros(len(seg_starts), dtype=np.uint64)
+    tmp = np.empty_like(mixed)
+    one = np.uint64(1)
+    for b in range(64):
+        np.right_shift(mixed, np.uint64(b), out=tmp)
+        np.bitwise_and(tmp, one, out=tmp)
+        ones = np.add.reduceat(tmp, seg_starts).astype(np.int64)
+        majority = (2 * ones - seg_len) > 0
+        words |= majority.astype(np.uint64) << np.uint64(b)
+    out[present] = words.astype(np.int64)  # wrap to signed for LongType
     return out
 
 
@@ -267,7 +342,7 @@ def minhash_map_in_arrow(df, shingle_k: int, num_perm: int,
 def make_simhash_udf(shingle_k: int):
     @pandas_udf(T.LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: simhash64(t, shingle_k))
+        return pd.Series(simhash_batch(texts.tolist(), shingle_k))
 
     return simhash_udf
 

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from humid_spark.functions.signatures import P31, shingle_hashes
+from humid_spark.functions.signatures import P31, concat_poly_hashes, shingle_hashes
 
 
 def winnow(text: str | None, k: int = 8, w: int = 16) -> np.ndarray:
@@ -49,10 +49,67 @@ def winnow(text: str | None, k: int = 8, w: int = 16) -> np.ndarray:
     return np.unique(wins.min(axis=1))
 
 
+def winnow_batch(
+    texts: list[str | None], k: int = 8, w: int = 16
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized winnowing over a whole batch — bit-identical per doc to
+    ``winnow``.  One concatenated k-gram hash pass, ONE global sliding-min
+    (windows crossing a doc boundary are masked out afterwards, since each
+    doc's hashes occupy a contiguous slice), short docs take their segment
+    min via np.minimum.reduceat, then one sort dedups fingerprints per doc.
+
+    Returns (doc_of, fingerprint) rows sorted by (doc, fp) — callers slice
+    per doc via the grouped doc_of."""
+    hashes, doc_of, _n = concat_poly_hashes(texts, k)
+    if not hashes.size:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    m = len(hashes)
+    seg_starts = np.flatnonzero(np.diff(doc_of, prepend=-1))
+    seg_ends = np.append(seg_starts[1:], m)          # exclusive
+    seg_len = seg_ends - seg_starts
+    sel_doc: list[np.ndarray] = []
+    sel_fp: list[np.ndarray] = []
+    # long docs: every in-doc window of w hashes keeps its min
+    if m >= w:
+        wmins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
+        pos = np.arange(m - w + 1, dtype=np.int64)
+        doc_end = np.repeat(seg_ends, seg_len)[: m - w + 1]
+        in_doc = pos + w <= doc_end
+        # docs with exactly len == w hashes are handled identically by
+        # either branch (one window == segment min); winnow() routes
+        # len <= w to the segment-min branch, so mask them out here
+        long_doc = np.repeat(seg_len > w, seg_len)[: m - w + 1]
+        keep = in_doc & long_doc
+        sel_doc.append(doc_of[: m - w + 1][keep])
+        sel_fp.append(wmins[keep])
+    # short docs (1 <= len <= w): a single fingerprint, the segment min
+    short = seg_len <= w
+    if short.any():
+        mins = np.minimum.reduceat(hashes, seg_starts)[short]
+        sel_doc.append(doc_of[seg_starts][short])
+        sel_fp.append(mins)
+    docs = np.concatenate(sel_doc)
+    fps = np.concatenate(sel_fp)
+    # per-doc distinct via one sort: fp < 2^31, so (doc << 31) | fp is
+    # collision-free and unique() keeps doc grouping (doc in the high bits)
+    combined = np.unique(docs * np.int64(1 << 31) + fps)
+    return combined >> np.int64(31), combined & np.int64((1 << 31) - 1)
+
+
 def make_winnow_udf(k: int = 8, w: int = 16):
     @pandas_udf(T.ArrayType(T.LongType()))
     def winnow_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: winnow(t, k, w).tolist())
+        doc_of, fps = winnow_batch(texts.tolist(), k, w)
+        n = len(texts)
+        out: list[list[int]] = [[] for _ in range(n)]
+        if len(doc_of):
+            seg_starts = np.flatnonzero(np.diff(doc_of, prepend=-1))
+            for d, chunk in zip(
+                doc_of[seg_starts],
+                np.split(fps, seg_starts[1:]),
+            ):
+                out[d] = chunk.tolist()
+        return pd.Series(out)
 
     return winnow_udf
 

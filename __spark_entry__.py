@@ -618,8 +618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_hyperplane_topk"] = ann_lsh
 
-    # --- containment/substring dups: winnowing fingerprints (numpy UDF ->
-    #     rows-only; the selection property is pinned in tests/test_containment.py) ---
+    # --- containment/substring dups: winnowing fingerprints (batched
+    #     numpy UDF; oracle-checked — the full winnowing pass is
+    #     re-expressed in DuckDB list ops, see oracle_sql) ---
     def containment_q(s, d):
         from humid_spark.operators.containment import containment_pairs
 
@@ -720,6 +721,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["directional_invariants_n12"] = directional_invariants_n12
+
+    # --- multimodal: exact dedup on a BINARY payload (A1 over an opaque
+    #     blob column; JVM-side sha2, no UDF).  The driver tables carry no
+    #     binary column, so the text bytes stand in as the blob — the
+    #     operator under test is humid_spark.functions.multimodal.
+    #     binary_exact_dups, unchanged. ---
+    def binary_dups(s, d):
+        from humid_spark.functions.multimodal import binary_exact_dups
+
+        docs = _t(s, d, "documents").select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            F.col("text").cast("binary").alias("blob"),
+        )
+        return binary_exact_dups(docs, blob_col="blob")
+
+    q["binary_exact_dups"] = binary_dups
+
+    # --- streaming dedup, batch-mode analog: the Structured-Streaming
+    #     operator (dropDuplicatesWithinWatermark, streaming/dedup.py)
+    #     keeps the first event per key per time window; the bounded-batch
+    #     equivalent is first-per-(key, tumbling-window), which DuckDB can
+    #     check exactly. ---
+    def events_dedup(s, d):
+        e = _t(s, d, "events")
+        es = F.col("ts").cast("timestamp").cast("long")
+        win = F.floor(es / 600).cast("long")
+        return (
+            e.withColumn("es", es)
+            .withColumn("win", win)
+            .groupBy("user_id", "event_type", "win")
+            .agg(
+                F.min(
+                    F.struct(F.col("es").alias("es"), F.col("event_id").alias("eid"))
+                ).alias("first"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select(
+                "user_id", "event_type", "win",
+                F.col("first.eid").alias("keep_event_id"),
+                "n_events",
+            )
+        )
+
+    q["events_dedup_windowed"] = events_dedup
 
     return q
 
@@ -837,6 +882,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT qid, cid, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
     """
 
+    # --- containment_pairs: winnowing IS deterministic integer math, so
+    #     the whole pass (k-gram polynomial hash mod P31, window-w minima,
+    #     per-doc distinct, inverted index with the fp_cap, containment
+    #     share) is expressible in DuckDB list ops.  The engine hashes
+    #     UTF-8 BYTES; the SQL uses ascii() per char — identical because
+    #     the driver's documents are pure ASCII (checked; a non-ASCII
+    #     corpus would need a blob-based formulation). ---
+    wk, ww, wcap = 8, 16, 500   # containment_pairs defaults
+    wpow = [0] * wk
+    _p = 1
+    for _i in range(wk - 1, -1, -1):
+        wpow[_i] = _p
+        _p = (_p * 131) % P31
+    wterms = " + ".join(
+        f"CAST(ascii(substring(text, i+{j}, 1)) AS BIGINT) * {wpow[j]}"
+        for j in range(wk)
+    )
+    o["containment_pairs"] = f"""
+        WITH fps AS (
+          SELECT doc_id,
+            list_distinct(
+              CASE WHEN len(h) <= {ww} THEN [list_min(h)]
+                   ELSE list_transform(generate_series(1, len(h) - {ww - 1}),
+                                       p -> list_min(h[p:p+{ww - 1}]))
+              END) AS fps
+          FROM (
+            SELECT doc_id,
+              list_transform(generate_series(1, length(text) - {wk - 1}),
+                             i -> ({wterms}) % {P31}) AS h
+            FROM documents WHERE text IS NOT NULL AND length(text) >= {wk})
+        ),
+        sizes AS (SELECT doc_id, len(fps) AS n_fp FROM fps WHERE len(fps) > 0),
+        inv AS (SELECT doc_id AS doc, unnest(fps) AS fp FROM fps),
+        cold AS (SELECT fp FROM inv GROUP BY fp HAVING count(*) <= {wcap}),
+        inv2 AS (SELECT doc, fp FROM inv JOIN cold USING (fp)),
+        shared AS (
+          SELECT a.doc AS src, b.doc AS dst, count(*) AS shared
+          FROM inv2 a JOIN inv2 b ON a.fp = b.fp AND a.doc < b.doc
+          GROUP BY a.doc, b.doc)
+        SELECT s.src, s.dst,
+               (s.shared * 1000) // least(na.n_fp, nb.n_fp) AS share_permille
+        FROM shared s
+        JOIN sizes na ON s.src = na.doc_id
+        JOIN sizes nb ON s.dst = nb.doc_id
+        WHERE (s.shared * 1000) // least(na.n_fp, nb.n_fp) >= 600
+    """
+
     o["max_clusters_n12"] = f"""
         WITH cc AS ({_sql_cc(N12)}), u AS ({_sql_uniq(N12)}),
         j AS (SELECT cc.key, cc.component, u.cnt
@@ -862,6 +954,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(0 AS BIGINT) AS maxkey_bad,
                CAST(0 AS BIGINT) AS seed_bad
         FROM ({_sql_uniq(N12)})
+    """
+
+    o["binary_exact_dups"] = (
+        "SELECT sha256(text) AS sha256, count(*) AS n, "
+        "min('doc://' || CAST(doc_id AS VARCHAR)) AS keep_url "
+        "FROM documents WHERE text IS NOT NULL GROUP BY 1"
+    )
+
+    o["events_dedup_windowed"] = """
+        WITH x AS (
+          SELECT user_id, event_type, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 600 AS win
+          FROM events),
+        r AS (SELECT user_id, event_type, win, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type, win
+                                        ORDER BY es, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id, event_type, win)
+                       AS n_events
+              FROM x)
+        SELECT user_id, event_type, win, event_id AS keep_event_id, n_events
+        FROM r WHERE rn = 1
     """
 
     # simhash_near_dups intentionally omitted: the 64-bit engine fingerprint

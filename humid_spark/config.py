@@ -27,6 +27,11 @@ class DedupConfig:
                                    # length(text) >= word_length
     url_key_prefix: bool = False   # UMI-analog: prepend last _/:-field of url when
                                    # it matches ^[ACGT]+$ (reference src/fastq.cc:72-93)
+    peek_umi: bool = False         # S2 probe: measure the token length from the
+                                   # FIRST record (peekUMI, src/humid.cc:24-33) and
+                                   # make every row contribute exactly that many
+                                   # token chars (reference-exact preCompute split;
+                                   # requires url_key_prefix)
 
     # --- output modes (reference -q/-a/-s) ---
     write_dedup: bool = True
@@ -72,6 +77,8 @@ class DedupConfig:
             raise ValueError("num_perm must be divisible by lsh_bands")
         if self.word_length <= 0 or self.mismatches < 0:
             raise ValueError("word_length > 0 and mismatches >= 0 required")
+        if self.peek_umi and not self.url_key_prefix:
+            raise ValueError("peek_umi requires url_key_prefix")
 
     @property
     def rows_per_band(self) -> int:

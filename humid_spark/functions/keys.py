@@ -61,6 +61,38 @@ def cut_or_pad(col: Column, n: int, pad: str = "N") -> Column:
     return F.rpad(F.substring(col, 1, n), n, pad)
 
 
+def peek_umi_size(df: DataFrame, cfg: DedupConfig, url_col: str = "url",
+                  ts_col: str = "warc_ts") -> int:
+    """S2 data probe — the reference's peekUMI (src/humid.cc:24-33): read
+    ONE record (the first in doc order = (warc_ts, url)) and measure its
+    url key-token length.  A single O(1) driver action (min-struct
+    aggregate); the result parameterizes the key plan for the whole run,
+    exactly like the reference measures the header-UMI size once and
+    applies it to every read."""
+    alpha = cfg.alphabet or "ACGT"
+    token = extract_url_token(F.col(url_col), alpha)
+    row = df.select(
+        F.min(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(url_col).alias("url"),
+                token.alias("token"),
+            )
+        ).alias("f")
+    ).first()
+    if row is None or row["f"] is None:
+        return 0
+    return len(row["f"]["token"] or "")
+
+
+def key_budget(peek_size: int, cfg: DedupConfig) -> tuple[int, int]:
+    """preCompute analog (src/humid.cc:38-59): how many key chars come from
+    the url token vs the text.  Token contribution is capped at
+    word_length; the text supplies the rest."""
+    take_umi = min(peek_size, cfg.word_length)
+    return take_umi, cfg.word_length - take_umi
+
+
 def doc_order_column(ts: Column, url: Column) -> Column:
     """Deterministic 'input order' stand-in: the reference consumes files
     top-to-bottom; our table rows are ordered by (warc_ts, url).  Used for
@@ -69,7 +101,8 @@ def doc_order_column(ts: Column, url: Column) -> Column:
 
 
 def with_key_columns(df: DataFrame, cfg: DedupConfig, text_col: str = "text",
-                     url_col: str = "url") -> DataFrame:
+                     url_col: str = "url",
+                     umi_size: int | None = None) -> DataFrame:
     """Append `key` (fixed-length) and `usable` columns.
 
     Parity mode (cfg.alphabet set): the key window is cut-or-padded to
@@ -81,18 +114,39 @@ def with_key_columns(df: DataFrame, cfg: DedupConfig, text_col: str = "text",
     Engine mode (alphabet None): usable iff text is non-null and at least
     word_length chars; key = first word_length chars.
 
-    With cfg.url_key_prefix, a valid url token contributes the key prefix and
-    the text contributes the remaining chars (preCompute analog,
-    src/humid.cc:38-59), with the token itself truncated to word_length when
-    longer.
+    With cfg.url_key_prefix, a valid url token contributes the key prefix
+    and the text contributes the remaining chars.  Two sub-modes:
+
+    - umi_size=None (lenient): the row's own token, truncated to
+      word_length, is concatenated with the text and the whole key is
+      cut-or-padded — rows without a valid token fall back to text-only
+      keys.
+    - umi_size=k (reference-exact, from peek_umi_size): EVERY row
+      contributes exactly min(k, n) chars from its token (cut-or-padded —
+      a row with an invalid/short token gets pad chars there, poisoning
+      it, just like makeStringSize of an empty UMI) and n - min(k, n)
+      chars from its text (preCompute, src/humid.cc:38-59).
     """
     n = cfg.word_length
     text = F.col(text_col)
     if cfg.url_key_prefix:
         alpha = cfg.alphabet or "ACGT"
         token = extract_url_token(F.col(url_col), alpha)
-        token = F.substring(token, 1, n)
-        key = cut_or_pad(F.concat(token, F.coalesce(text, F.lit(""))), n, cfg.pad_char)
+        if umi_size is None:
+            token = F.substring(token, 1, n)
+            key = cut_or_pad(
+                F.concat(token, F.coalesce(text, F.lit(""))), n, cfg.pad_char
+            )
+        else:
+            take_umi, take_text = key_budget(umi_size, cfg)
+            parts = []
+            if take_umi:
+                parts.append(cut_or_pad(token, take_umi, cfg.pad_char))
+            if take_text:
+                parts.append(
+                    cut_or_pad(F.coalesce(text, F.lit("")), take_text, cfg.pad_char)
+                )
+            key = F.concat(*parts)
     else:
         key = cut_or_pad(F.coalesce(text, F.lit("")), n, cfg.pad_char)
 

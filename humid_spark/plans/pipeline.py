@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from humid_spark.config import DedupConfig
-from humid_spark.functions.keys import with_key_columns
+from humid_spark.functions.keys import peek_umi_size, with_key_columns
 from humid_spark.operators import blocking, exact, stats
 from humid_spark.operators.directional import cluster_keys
 
@@ -44,7 +44,15 @@ def neighbour_pairs(uniq: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def run_pipeline(pages: DataFrame, cfg: DedupConfig) -> DedupResult:
-    keyed = with_key_columns(pages, cfg)
+    # S2 probe: one O(1) driver action measuring the first record's url
+    # token length, parameterizing the key plan for the whole run
+    # (reference peekUMI + preCompute, src/humid.cc:24-59)
+    umi_size = (
+        peek_umi_size(pages, cfg)
+        if (cfg.url_key_prefix and cfg.peek_umi)
+        else None
+    )
+    keyed = with_key_columns(pages, cfg, umi_size=umi_size)
     uniq = exact.unique_keys(keyed)
     pairs = neighbour_pairs(uniq, cfg)
     clusters = cluster_keys(

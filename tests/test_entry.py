@@ -27,7 +27,6 @@ def test_every_query_has_oracle_or_reason(spark):
     # documented rows-only exceptions only
     assert qs - os_ == {
         "directional_clusters", "ann_hyperplane_topk", "simhash_near_dups",
-        "containment_pairs",
     }
 
 

@@ -766,6 +766,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_dedup_windowed"] = events_dedup
 
+    # --- exact substring duplicates (the north-star's suffix-array pass;
+    #     winnowing-candidate + contains() verify, recall-1 argument in
+    #     humid_spark.operators.containment.substring_dups).  The word-soup
+    #     docs contain no natural substring dups, so both engines derive
+    #     the SAME augmented table: every 7th doc contributes a 150-char
+    #     snippet (id + 1,000,000) — real contained pairs, non-vacuous. ---
+    def substring_q(s, d):
+        from humid_spark.operators.containment import substring_dups
+
+        docs = _t(s, d, "documents").select("doc_id", "text")
+        snip = (
+            docs.filter((F.col("doc_id") % 7 == 0) & F.col("text").isNotNull())
+            .select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.substring("text", 31, 150).alias("text"),
+            )
+        )
+        return substring_dups(docs.union(snip))
+
+    q["substring_dups"] = substring_q
+
     return q
 
 
@@ -976,6 +997,19 @@ def oracle_sql() -> dict[str, str]:
               FROM x)
         SELECT user_id, event_type, win, event_id AS keep_event_id, n_events
         FROM r WHERE rn = 1
+    """
+
+    o["substring_dups"] = """
+        WITH aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, substring(text, 31, 150) AS text
+          FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL
+        )
+        SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc
+        FROM aug a JOIN aug b ON a.doc_id <> b.doc_id
+        WHERE a.text IS NOT NULL AND b.text IS NOT NULL
+          AND length(a.text) >= 23 AND contains(b.text, a.text)
     """
 
     # simhash_near_dups intentionally omitted: the 64-bit engine fingerprint

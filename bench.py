@@ -52,6 +52,22 @@ def q_hamming_cc(spark: SparkSession, sf_dir: str) -> None:
     _force(e.queries()["annotate"](spark, sf_dir))
 
 
+def q_hamming_cc_n12(spark: SparkSession, sf_dir: str) -> None:
+    """Same chain at n=12 keys, where real Hamming-1 edges exist — the CC
+    and representative stages actually merge (the n=24 run is edge-free on
+    this corpus)."""
+    import __spark_entry__ as e
+
+    _force(e.queries()["annotate_n12"](spark, sf_dir))
+
+
+def q_substring_dups(spark: SparkSession, sf_dir: str) -> None:
+    """Exact substring duplicates: winnowing candidates + contains verify."""
+    import __spark_entry__ as e
+
+    _force(e.queries()["substring_dups"](spark, sf_dir))
+
+
 def q_webdedup(spark: SparkSession, sf_dir: str) -> None:
     """Engine mode end-to-end: MinHash(128) -> LSH -> verify -> CC -> dedup."""
     from humid_spark.config import DedupConfig
@@ -87,9 +103,11 @@ def q_ann(spark: SparkSession, sf_dir: str) -> None:
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "hamming_cc_annotate": q_hamming_cc,
+    "hamming_cc_annotate_n12": q_hamming_cc_n12,
     "webdedup_minhash_lsh": q_webdedup,
     "text_analytics": q_text_analytics,
     "minhash_sql_jaccard": q_minhash_sql,
+    "substring_dups": q_substring_dups,
     "ann_cosine_topk": q_ann,
 }
 

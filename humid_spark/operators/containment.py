@@ -114,6 +114,52 @@ def make_winnow_udf(k: int = 8, w: int = 16):
     return winnow_udf
 
 
+def substring_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 16,
+    fp_cap: int = 500,
+) -> DataFrame:
+    """EXACT substring duplicates — the north-star's suffix-array pass,
+    re-expressed Spark-first: winnowing candidates + a JVM contains()
+    verify instead of a distributed suffix array.
+
+    Guarantee: if doc A's text appears verbatim inside doc B and
+    len(A) >= k + w - 1, then every w-window of A's k-gram hash sequence
+    is also a w-window of B's, so fp(A) ⊆ fp(B) and the containment share
+    is exactly 1000 — candidate recall is 1 (Schleimer-Wilkerson-Aiken
+    winnowing property).  The exact verify then removes winnowing false
+    positives, so the result equals the all-pairs contains() semantics
+    while only ever joining within shared-fingerprint buckets.  (Caveat
+    shared with containment_pairs: fingerprints hotter than fp_cap are
+    demoted, which can hide pairs in degenerate boilerplate corpora —
+    surfaced by the cap lineage, never silent.)
+
+    Returns (inner_doc, outer_doc): inner's text occurs inside outer's.
+    Equal texts emit both orientations.
+    """
+    cands = containment_pairs(
+        docs, id_col, text_col, k, w, min_share=1.0, fp_cap=fp_cap
+    )
+    min_len = k + w - 1
+    ta = docs.select(
+        F.col(id_col).alias("src"), F.col(text_col).alias("t_src")
+    )
+    tb = docs.select(
+        F.col(id_col).alias("dst"), F.col(text_col).alias("t_dst")
+    )
+    joined = cands.join(ta, "src").join(tb, "dst")
+    fwd = joined.filter(
+        (F.length("t_src") >= min_len) & F.contains(F.col("t_dst"), F.col("t_src"))
+    ).select(F.col("src").alias("inner_doc"), F.col("dst").alias("outer_doc"))
+    rev = joined.filter(
+        (F.length("t_dst") >= min_len) & F.contains(F.col("t_src"), F.col("t_dst"))
+    ).select(F.col("dst").alias("inner_doc"), F.col("src").alias("outer_doc"))
+    return fwd.union(rev)
+
+
 def containment_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -126,8 +172,15 @@ def containment_pairs(
     """(doc_id, text) -> (src, dst, share_permille) pairs where the smaller
     fingerprint set is >= min_share contained in the intersection."""
     udf = make_winnow_udf(k, w)
-    fps = docs.select(
-        F.col(id_col).alias("doc"), udf(F.col(text_col)).alias("fps")
+    spark = docs.sparkSession
+    # materialize the fingerprint table ONCE, at full parallelism: it is
+    # consumed four times (sizes, inverted index, both self-join sides) and
+    # the input is often a single parquet row-group — without this the
+    # winnow UDF recomputes 4x on ~2 cores (measured 23s -> 4s at sf0.1)
+    fps = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("doc"), udf(F.col(text_col)).alias("fps"))
+        .localCheckpoint(eager=True)
     )
     sizes = fps.select("doc", F.size("fps").alias("n_fp")).filter(
         F.col("n_fp") > 0

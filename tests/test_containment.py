@@ -62,3 +62,34 @@ def test_webdedup_with_containment_clusters_inner_and_outer(spark):
         if inner_seeds and any(cluster_of[u] == cluster_of[cu] for u in inner_seeds):
             hit += 1
     assert hit / len(contain_urls) >= 0.8
+
+
+def test_substring_dups_exact_semantics(spark):
+    """substring_dups == all-pairs contains() for inner docs >= k+w-1 chars
+    (winnowing recall-1 guarantee + exact verify); equal texts emit both
+    orientations; short inners are excluded."""
+    from humid_spark.operators.containment import substring_dups
+
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen astronauts compile spark plans in the rain")
+    rows = [
+        (1, base),
+        (2, "PREFIX " + base + " SUFFIX"),         # contains 1
+        (3, base[10:60]),                            # 50 chars, inside 1 and 2
+        (4, "completely unrelated text about databases and query optimizers everywhere"),
+        (5, base),                                   # exact dup of 1
+        (6, base[20:40]),                            # 20 chars < 23: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["inner_doc"], r["outer_doc"])
+        for r in substring_dups(df).collect()
+    }
+    expected = set()
+    for a, ta in rows:
+        for b, tb in rows:
+            if a != b and len(ta) >= 23 and ta in tb:
+                expected.add((a, b))
+    assert got == expected
+    assert (1, 5) in got and (5, 1) in got          # both orientations
+    assert all(p[0] != 6 for p in got)              # short inner excluded

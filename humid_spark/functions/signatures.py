@@ -236,37 +236,25 @@ def oph_signatures_batch(texts: list[str | None], k: int, num_perm: int) -> np.n
 
 def kperm_signatures_batch(texts: list[str | None], k: int, num_perm: int,
                            seed: int = 42) -> np.ndarray:
-    """Classic k-permutation MinHash over a batch (compute-bound: num_perm
-    multiply-mods per shingle — scales with cores where OPH saturates the
-    memory bus).
+    """Classic k-permutation MinHash over a batch — deliberately a PER-DOC
+    loop, not a whole-batch vectorization.
 
-    Batched like oph_signatures_batch: one concatenated hash pass, then per
-    permutation one whole-batch universal hash + segment-min
-    (np.minimum.reduceat over the doc boundaries — doc_of is grouped).
-    Bit-identical to the per-doc ``minhash_signature`` path (duplicate
-    shingles can't change a min)."""
+    Why: per doc, the (num_perm x n_shingles) universal-hash matrix is
+    ~100-500 KB — cache-resident, so the stage is pure compute (idiv-bound)
+    and scales near-linearly with cores.  A whole-batch formulation (one
+    concatenated hash array + per-permutation reduceat) measured 1.16x
+    faster SINGLE-threaded but streams ~36 MB per pass per worker; with 32
+    parallel workers it saturates the shared memory bus and collapsed the
+    measured 8->32-core pipeline efficiency from 0.82 to 0.47 — the exact
+    failure mode that disqualifies OPH as the default.  Keep this loop
+    cache-resident; it is the property that makes kperm the scheme that
+    passes the north-rule scaling gate."""
     a, b = _coeffs(num_perm, seed)
-    hashes, doc_of, n = concat_poly_hashes(texts, k)
-    out = np.full((n, num_perm), P31, dtype=np.int64)
-    if hashes.size:
-        seg_starts = np.flatnonzero(np.diff(doc_of, prepend=-1))
-        present = doc_of[seg_starts]
-        # One whole-batch universal hash + segment-min per permutation.
-        # (A Mersenne-fold mod replacement and L2 cache blocking were both
-        # tried: the folds' 12 memory-bound passes lose to np.mod's
-        # compute-dominated idiv once the interleaved reduceat/scatter
-        # evicts the cache, and smaller chunks drown in numpy dispatch
-        # overhead.  The simple form is the measured winner and keeps the
-        # stage compute-bound per core — which is what makes kperm the
-        # scheme that scales with executors.)
-        vals = np.empty_like(hashes)
-        for j in range(num_perm):
-            np.multiply(hashes, a[j], out=vals)
-            np.mod(vals, P31, out=vals)
-            np.add(vals, b[j], out=vals)
-            np.mod(vals, P31, out=vals)
-            out[present, j] = np.minimum.reduceat(vals, seg_starts)
-    return out.astype(np.int32, casting="unsafe")
+    out = np.empty((len(texts), num_perm), dtype=np.int32)
+    for i, t in enumerate(texts):
+        out[i] = np.asarray(minhash_signature(t, k, a, b), dtype=np.int64) \
+            .astype(np.int32, casting="unsafe")
+    return out
 
 
 def simhash_batch(texts: list[str | None], k: int) -> np.ndarray:

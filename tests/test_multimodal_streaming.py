@@ -59,3 +59,39 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert len(out) == 5
     assert len({r["text"] for r in out}) == 5
     _ = F
+
+
+def test_stateful_first_seen(spark, tmp_path):
+    """Custom applyInPandasWithState dedup: one output row per fingerprint
+    with the first-seen url and the duplicate count; a second batch of
+    all-duplicate rows emits NOTHING (state counts silently)."""
+    import time
+
+    from humid_spark.streaming.dedup import stateful_first_seen
+
+    src = str(tmp_path / "in_state")
+    pages = to_spark(spark, fx_cluster_chain_gap())
+    pages.write.parquet(src)
+
+    stream = spark.readStream.schema(pages.schema).parquet(src)
+    out = stateful_first_seen(stream)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("first_seen_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    time.sleep(1)
+    rows = spark.sql("select * from first_seen_stream").collect()
+    # 27 rows, 5 distinct texts -> 5 first-seen rows; dup counts cover the rest
+    assert len(rows) == 5
+    assert sorted(r["n_dups"] for r in rows) == [1, 2, 3, 7, 9]
+    assert sum(r["n_dups"] for r in rows) + len(rows) == 27
+    # first-seen url = min (ts, url) of its fingerprint group
+    expect = {}
+    for p in sorted(fx_cluster_chain_gap(), key=lambda r: (r["warc_ts"], r["url"])):
+        expect.setdefault(p["text"], p["url"])
+    got_urls = {r["url"] for r in rows}
+    assert got_urls == set(expect.values())

@@ -65,24 +65,28 @@ def peek_umi_size(df: DataFrame, cfg: DedupConfig, url_col: str = "url",
                   ts_col: str = "warc_ts") -> int:
     """S2 data probe — the reference's peekUMI (src/humid.cc:24-33): read
     ONE record (the first in doc order = (warc_ts, url)) and measure its
-    url key-token length.  A single O(1) driver action (min-struct
-    aggregate); the result parameterizes the key plan for the whole run,
-    exactly like the reference measures the header-UMI size once and
-    applies it to every read."""
+    url key-token length.  The result parameterizes the key plan for the
+    whole run, exactly like the reference measures the header-UMI size once
+    and applies it to every read.
+
+    Cost: one TakeOrderedAndProject pass over just the two pruned
+    (ts, url) columns — per-partition top-1, no shuffle, no regex on the
+    scan; the token regex runs on the single winning row.  (The reference
+    reads literally the first file record; our tables have no file order,
+    so "first by (ts, url)" is the defined doc order and a partial top-1
+    is the cheapest faithful analog — a full min-struct aggregate that
+    token-extracted every row is what this replaced.)"""
     alpha = cfg.alphabet or "ACGT"
-    token = extract_url_token(F.col(url_col), alpha)
-    row = df.select(
-        F.min(
-            F.struct(
-                F.col(ts_col).alias("ts"),
-                F.col(url_col).alias("url"),
-                token.alias("token"),
-            )
-        ).alias("f")
-    ).first()
-    if row is None or row["f"] is None:
+    row = (
+        df.select(ts_col, url_col)
+        .orderBy(ts_col, url_col)
+        .limit(1)
+        .select(extract_url_token(F.col(url_col), alpha).alias("token"))
+        .first()
+    )
+    if row is None:
         return 0
-    return len(row["f"]["token"] or "")
+    return len(row["token"] or "")
 
 
 def key_budget(peek_size: int, cfg: DedupConfig) -> tuple[int, int]:

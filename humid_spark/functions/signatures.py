@@ -200,19 +200,87 @@ def concat_poly_hashes(
     return acc[valid], doc_of[valid], n
 
 
-def oph_signatures_batch(texts: list[str | None], k: int, num_perm: int) -> np.ndarray:
-    """Vectorized OPH over a whole batch: one concatenated byte buffer, one
-    polynomial-hash pass, one scatter-min — instead of a per-doc Python
-    loop.  Returns an (n_docs, num_perm) int32 matrix (empty/short docs get
-    the P31 sentinel row).  ~5-8x the per-doc path."""
-    hashes, doc_of, n = concat_poly_hashes(texts, k)
+def _powers(k: int) -> np.ndarray:
+    powers = np.empty(k, dtype=np.int64)
+    p = 1
+    for i in range(k - 1, -1, -1):
+        powers[i] = p
+        p = (p * _BASE) % P31
+    return powers
+
+
+def _oph_scatter_chunk(
+    bufs: list[bytes], doc0: int, k: int, num_perm: int,
+    powers: np.ndarray, sig_flat: np.ndarray,
+) -> None:
+    """Fused poly-hash -> mix64 -> bucket -> scatter-min over ONE small
+    chunk of documents (all intermediates sized by the chunk, so the whole
+    working set stays cache-resident — see oph_signatures_batch)."""
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    m = len(data) - k + 1
+    if m <= 0:
+        return
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+    d64 = data.astype(np.int64)
+    acc = d64[0:m] * powers[0]
+    tmp = np.empty(m, dtype=np.int64)
+    for i in range(1, k):
+        np.multiply(d64[i:i + m], powers[i], out=tmp)
+        np.add(acc, tmp, out=acc)
+    np.mod(acc, P31, out=acc)
+    # windows crossing a doc boundary are invalid — the last k-1 slots of
+    # every doc (same masking as concat_poly_hashes)
+    doc_of = np.repeat(np.arange(doc0, doc0 + len(bufs), dtype=np.int64),
+                       lens)[:m]
+    starts = np.concatenate(([0], np.cumsum(lens)))
+    valid = np.ones(m, dtype=bool)
+    tail = (starts[1:, None] - np.arange(k - 1, 0, -1)[None, :]).reshape(-1)
+    tail = tail[(tail >= 0) & (tail < m)]
+    valid[tail] = False
+    mixed = _mix64(acc[valid])
+    buckets = (mixed % np.uint64(num_perm)).astype(np.int64)
+    vals = (mixed >> np.uint64(33)).astype(np.int64)
+    np.minimum.at(sig_flat, doc_of[valid] * num_perm + buckets, vals)
+
+
+def oph_signatures_batch(
+    texts: list[str | None], k: int, num_perm: int,
+    chunk_bytes: int = 96 * 1024,
+) -> np.ndarray:
+    """Vectorized OPH over a batch, processed in CACHE-RESIDENT chunks.
+
+    Returns an (n_docs, num_perm) int32 matrix (empty/short docs get the
+    P31 sentinel row), bit-identical to the per-doc ``oph_signature`` path
+    (scatter-min is order-independent; densification is deterministic).
+
+    Why chunked: the round-1/2 whole-batch formulation concatenated the
+    entire Arrow batch (~10 MB text) and streamed ~8-byte-per-window
+    intermediates (poly-hash acc, mix64 temporaries, bucket/val arrays)
+    through DRAM — hundreds of MB of traffic per batch per worker.  One
+    worker is fast that way, but 8+ workers share one memory bus and the
+    stage's measured 2->8-core scaling efficiency collapsed to 0.54
+    (BENCH/scaling.json, round 2).  The same lesson as kperm
+    (kperm_signatures_batch docstring): cache residency, not single-thread
+    speed, is what makes a multi-worker UDF stage scale.  Chunking at
+    ~96 KB of text keeps every intermediate (~10x the text size) inside
+    the per-core L2/shared L3, so cores do arithmetic instead of queueing
+    on the bus, while ~90 docs per chunk still amortize numpy dispatch.
+    Chunk boundaries fall on document boundaries, so results are invariant
+    to chunk_bytes."""
+    bufs = [t.encode("utf-8") if t else b"" for t in texts]
+    n = len(bufs)
     sig = np.full((n, num_perm), np.iinfo(np.int64).max, dtype=np.int64)
-    if hashes.size:
-        mixed = _mix64(hashes)
-        buckets = (mixed % np.uint64(num_perm)).astype(np.int64)
-        vals = (mixed >> np.uint64(33)).astype(np.int64)
-        flat_idx = doc_of * num_perm + buckets
-        np.minimum.at(sig.reshape(-1), flat_idx, vals)
+    sig_flat = sig.reshape(-1)
+    powers = _powers(k)
+    i = 0
+    while i < n:
+        j = i
+        tot = 0
+        while j < n and (j == i or tot + len(bufs[j]) <= chunk_bytes):
+            tot += len(bufs[j])
+            j += 1
+        _oph_scatter_chunk(bufs[i:j], i, k, num_perm, powers, sig_flat)
+        i = j
     # densification, vectorized across the batch: for each doc, empty slots
     # borrow the nearest filled slot to the left (circular) plus distance
     empty = sig == np.iinfo(np.int64).max

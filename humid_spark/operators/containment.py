@@ -132,10 +132,16 @@ def substring_dups(
     is exactly 1000 — candidate recall is 1 (Schleimer-Wilkerson-Aiken
     winnowing property).  The exact verify then removes winnowing false
     positives, so the result equals the all-pairs contains() semantics
-    while only ever joining within shared-fingerprint buckets.  (Caveat
-    shared with containment_pairs: fingerprints hotter than fp_cap are
-    demoted, which can hide pairs in degenerate boilerplate corpora —
-    surfaced by the cap lineage, never silent.)
+    while only ever joining within shared-fingerprint buckets.
+
+    Cap caveat: fingerprints hotter than fp_cap are demoted from the
+    inverted index.  Sizes are computed over the POST-cap index, so the
+    share of a surviving pair is unaffected (numerator and denominator
+    lose the same fingerprints and fp(A)∖hot ⊆ fp(B)∖hot still scores
+    1000); the residual hole is a doc whose EVERY fingerprint is hot
+    (boilerplate-only page), which drops out of the index entirely.  Audit
+    with ``demoted_fingerprints(docs, ...)`` — same lineage contract as
+    lsh.demoted_buckets, never silent.
 
     Returns (inner_doc, outer_doc): inner's text occurs inside outer's.
     Equal texts emit both orientations.
@@ -160,6 +166,26 @@ def substring_dups(
     return fwd.union(rev)
 
 
+def demoted_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 16,
+    fp_cap: int = 500,
+) -> DataFrame:
+    """Lineage: the (fp, doc_count) fingerprints the cap demoted from the
+    containment/substring inverted index (cf. lsh.demoted_buckets)."""
+    udf = make_winnow_udf(k, w)
+    inv = docs.select(
+        F.col(id_col).alias("doc"), F.explode(udf(F.col(text_col))).alias("fp")
+    )
+    return (
+        inv.groupBy("fp").agg(F.count(F.lit(1)).alias("doc_count"))
+        .filter(F.col("doc_count") > fp_cap)
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -170,7 +196,8 @@ def containment_pairs(
     fp_cap: int = 500,
 ) -> DataFrame:
     """(doc_id, text) -> (src, dst, share_permille) pairs where the smaller
-    fingerprint set is >= min_share contained in the intersection."""
+    POST-cap fingerprint set is >= min_share contained in the intersection
+    (see substring_dups for the cap-consistency argument)."""
     udf = make_winnow_udf(k, w)
     spark = docs.sparkSession
     # materialize the fingerprint table ONCE, at full parallelism: it is
@@ -182,9 +209,6 @@ def containment_pairs(
         .select(F.col(id_col).alias("doc"), udf(F.col(text_col)).alias("fps"))
         .localCheckpoint(eager=True)
     )
-    sizes = fps.select("doc", F.size("fps").alias("n_fp")).filter(
-        F.col("n_fp") > 0
-    )
     inv = fps.select("doc", F.explode("fps").alias("fp"))
     hot = (
         inv.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
@@ -192,6 +216,13 @@ def containment_pairs(
         .select("fp")
     )
     inv = inv.join(F.broadcast(hot), "fp", "left_anti")
+    # sizes over the POST-cap index: a demoted fingerprint leaves both the
+    # numerator (shared) and the denominator (n_fp) consistently, so
+    # containment of the surviving fingerprint set is still measured
+    # exactly — if fp(A) ⊆ fp(B) then fp(A)∖hot ⊆ fp(B)∖hot and A∖hot's
+    # share stays 1000.  (Pre-cap sizes silently deflated the share of any
+    # pair touching a hot fingerprint — the round-2 ADVICE finding.)
+    sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
 
     a = inv.alias("a")
     b = inv.alias("b")

@@ -64,10 +64,17 @@ def stateful_first_seen(
 
         n_new = 0
         first = None
+        # A hot key's micro-batch data arrives as MULTIPLE pandas chunks
+        # (Arrow batch size, default 10k rows) — track the running
+        # (ts, url) minimum across ALL of them, not just the first chunk.
         for pdf in pdfs:
-            if first is None and len(pdf):
-                idx = pdf.sort_values([ts_col, url_col]).index[0]
-                first = pdf.loc[idx]
+            if len(pdf):
+                cand = pdf.loc[pdf.sort_values([ts_col, url_col]).index[0]]
+                if first is None or (
+                    (cand[ts_col], cand[url_col])
+                    < (first[ts_col], first[url_col])
+                ):
+                    first = cand
             n_new += len(pdf)
         if state.exists:
             (n,) = state.get

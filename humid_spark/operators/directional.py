@@ -20,10 +20,21 @@ Physical plan:
   4. global seed rank -> cluster ids        — range-partitioned rank
 
 Giant components (boilerplate explosions) exceed `max_component_nodes`:
-replayed greedily they would serialize; instead they collapse to one
-cluster (seed = min key, representative = max count, ties to the smaller
-key) and are flagged in `oversized` for lineage.  This is the documented
-deviation absorbed by the >=0.99 recall budget (SURVEY.md §4.3.6).
+replayed greedily they would serialize.  Since round 3 they go through
+DISTRIBUTED directional label propagation (`directional_label_propagation`)
+instead of collapsing to one cluster: seeds are the local count-maxima
+(nodes with no `count(nb) >= 2*count(node)` neighbour — exactly the
+possible climb-tops of src/cluster.cc:39-51), labels flow strictly
+downhill along `count(parent) >= 2*count(child)` edges (the flood rule,
+src/cluster.cc:58-69), contested nodes take the MINIMUM reachable seed key
+(deterministic, order-free stand-in for the walk-order tiebreak).  Counts
+at least halve per downhill hop, so propagation depth — and the round
+count — is bounded by log2(max count) <= ~31.  Membership is an
+approximation of the order-sensitive sequential greedy; measured
+pair-recall vs `oracle.cluster_greedy` on planted giant components is
+pinned >= 0.99 in tests/test_directional_lp.py, and rows keep
+`oversized=True` for lineage.  This is the documented deviation absorbed
+by the >=0.99 recall budget (SURVEY.md §4.3.6).
 """
 
 from __future__ import annotations
@@ -100,6 +111,54 @@ def _replay_factory(maximum: bool, max_nodes: int):
     return replay_bucket
 
 
+def directional_label_propagation(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 40
+) -> DataFrame:
+    """Distributed directional clustering for components too large to
+    replay in one worker (see module docstring for the semantics mapping).
+
+    nodes(key, count) + undirected edges(src, dst) -> (key, label) where
+    label is the cluster's seed key.  Wholly DataFrame-native: one
+    downhill-edge materialization, then min-label propagation rounds, each
+    a (join + groupBy-min) pair of shuffles with the convergence check
+    piggybacked on the checkpoint action (cc._observed_checkpoint — no
+    per-round driver collect).  Every node is reachable downhill from at
+    least one local max (an unreachable node would itself be a local max),
+    so the fixpoint labels everything; rounds are bounded by the downhill
+    depth <= log2(max count)."""
+    from humid_spark.operators.cc import _observed_checkpoint
+
+    cnt = nodes.select(F.col("key"), F.col("count"))
+    both = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    down = (
+        both.join(cnt.select(F.col("key").alias("src"),
+                             F.col("count").alias("c_src")), "src")
+        .join(cnt.select(F.col("key").alias("dst"),
+                         F.col("count").alias("c_dst")), "dst")
+        .filter(F.col("c_src") >= 2 * F.col("c_dst"))
+        .select(F.col("src").alias("parent"), F.col("dst").alias("child"))
+        .localCheckpoint(eager=True)
+    )
+    seeds = cnt.join(
+        down.select(F.col("child").alias("key")).distinct(), "key", "left_anti"
+    ).select("key", F.col("key").alias("label"))
+
+    cur = seeds.localCheckpoint(eager=True)
+    prev_fp = None
+    for _ in range(max_rounds):
+        prop = down.join(
+            cur.select(F.col("key").alias("parent"), "label"), "parent"
+        ).select(F.col("child").alias("key"), "label")
+        nxt = cur.union(prop).groupBy("key").agg(F.min("label").alias("label"))
+        cur, fp = _observed_checkpoint(nxt)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    return cur
+
+
 def cluster_keys(
     uniq: DataFrame,
     pairs: DataFrame,
@@ -123,6 +182,52 @@ def cluster_keys(
         pairs.join(comp_of, pairs["src"] == comp_of["src_key"])
         .select(F.col("src_component").alias("component"), "src", "dst")
     )
+
+    # Divert components too large for a single-worker replay (either
+    # dimension — cogrouped Arrow batches materialize per group) to the
+    # distributed label-propagation path.  `over` is an aggregate of
+    # component ids — tiny by construction (giant components are rare), so
+    # it broadcasts; the existence check is one count() on that aggregate.
+    comp_sz = (
+        nodes.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
+        .join(
+            edges_c.groupBy("component").agg(F.count(F.lit(1)).alias("n_edges")),
+            "component", "left",
+        )
+        .withColumn("n_edges", F.coalesce(F.col("n_edges"), F.lit(0)))
+    )
+    over = comp_sz.filter(
+        (F.col("n_nodes") > max_component_nodes)
+        | (F.col("n_edges") > 4 * max_component_nodes)
+    ).select("component").localCheckpoint(eager=True)
+    lp_rows = None
+    if not maximum and over.limit(1).count() > 0:
+        nodes_o = nodes.join(F.broadcast(over), "component")
+        edges_o = edges_c.join(F.broadcast(over), "component")
+        labels = directional_label_propagation(
+            nodes_o.select("key", "count"), edges_o.select("src", "dst")
+        )
+        lab_nodes = nodes_o.join(labels, "key")
+        cl_agg = lab_nodes.groupBy("label").agg(
+            F.min("key").alias("cluster_seed"),
+            F.sum("count").alias("cluster_size"),
+            # reference representative approximation: max count, ties to
+            # the smaller key (src/cluster.cc:20-25 first-max-wins)
+            F.min(
+                F.struct((-F.col("count")).alias("nc"),
+                         F.col("key").alias("k"))
+            ).alias("mx"),
+        )
+        lp_rows = lab_nodes.join(cl_agg, "label").select(
+            "key", "count", "first_ts", "first_url", "component",
+            "cluster_seed", "cluster_size",
+            F.col("mx.k").alias("max_key"),
+            (-F.col("mx.nc")).cast("long").alias("max_count"),
+            F.lit(True).alias("oversized"),
+        )
+        nodes = nodes.join(F.broadcast(over), "component", "left_anti")
+        edges_c = edges_c.join(F.broadcast(over), "component", "left_anti")
+
     replay = _replay_factory(maximum, max_component_nodes)
     n_buckets = 1024
     rb = lambda c: F.pmod(F.xxhash64(c), F.lit(n_buckets))  # noqa: E731
@@ -135,6 +240,8 @@ def cluster_keys(
         )
         .applyInPandas(replay, _REPLAY_SCHEMA)
     )
+    if lp_rows is not None:
+        clustered = clustered.unionByName(lp_rows)
     seeds = clustered.select("cluster_seed").distinct()
     seed_ids = with_global_rank(seeds, "cluster_seed", "cluster_id")
     return clustered.join(seed_ids, "cluster_seed")

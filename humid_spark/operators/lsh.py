@@ -65,7 +65,20 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig,
     eligible = sizes.filter(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.bucket_cap)
     )
-    pruned = buckets.join(eligible, ["band", "bucket"])
+    # Materialize the eligible-bucket membership ONCE, serialized
+    # (MEMORY_AND_DISK is the serialized level in Spark 4; lz4 via
+    # spark.rdd.compress).  Without this the cold and hot self-joins each
+    # recompute the 16x band explode AND the sizes aggregation on BOTH
+    # sides — ~6 passes over the signature checkpoint per run.  Measured
+    # (min-of-3 interleaved, 3M rows, local[8]): candidate+verify stage
+    # 77.3s -> 51.1s.  Lazy: first action materializes, every branch
+    # reuses; the table holds only multi-member-bucket rows, a small
+    # fraction of the explode at any scale.
+    from pyspark import StorageLevel
+
+    pruned = buckets.join(eligible, ["band", "bucket"]).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
 
     cold = pruned.filter(F.col("bucket_size") < salt_threshold)
     a = cold.alias("a")

@@ -96,6 +96,9 @@ def run_web_pipeline(
         lambda: raw_sigs.groupBy("text_hash").agg(
             F.count(F.lit(1)).alias("count"),
             F.min("doc_id").alias("rep_doc_id"),
+            # first() is order-nondeterministic in general but EXACT here:
+            # every row in a text_hash group has byte-identical text, so
+            # all candidate minhash values are identical
             F.first("minhash").alias("minhash"),
         ),
     )

@@ -61,6 +61,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # serialized persisted blocks (e.g. the lsh pruned-bucket
+        # checkpoint) compress with lz4: decode is cheap per-core CPU that
+        # scales with executors, vs raw memory-bus traffic that does not
+        .config("spark.rdd.compress", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

@@ -95,3 +95,60 @@ def test_stateful_first_seen(spark, tmp_path):
         expect.setdefault(p["text"], p["url"])
     got_urls = {r["url"] for r in rows}
     assert got_urls == set(expect.values())
+
+
+def test_stateful_first_seen_spans_chunks(spark, tmp_path):
+    """A hot key's micro-batch data arrives as MULTIPLE pandas chunks
+    (Arrow batch size); the emitted row must be the (ts, url) minimum
+    across ALL chunks, not the first chunk's (round-2 ADVICE fix).
+    Forced by shrinking maxRecordsPerBatch below the group size and
+    putting the minimum row LAST in natural order."""
+    import time
+    from datetime import datetime, timedelta, timezone
+
+    from humid_spark.streaming.dedup import stateful_first_seen
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        {
+            "url": f"https://ex.com/{99 - i:03d}",
+            "warc_ts": t0 + timedelta(seconds=100 - i),
+            "html": None,
+            "text": "same payload every time",
+            "lang": "en",
+        }
+        for i in range(40)
+    ]
+    # the minimum (ts, url) row is i=39 -> url /060, ts t0+61
+    src = str(tmp_path / "in_chunked")
+    pages = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+         for r in rows],
+        "url string, warc_ts timestamp, html string, text string, lang string",
+    )
+    pages.coalesce(1).write.parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = spark.readStream.schema(pages.schema).parquet(src)
+        query = (
+            stateful_first_seen(stream)
+            .writeStream.format("memory").queryName("first_seen_chunked")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+        time.sleep(1)
+        got = spark.sql("select * from first_seen_chunked").collect()
+        assert len(got) == 1
+        assert got[0]["url"] == "https://ex.com/060"
+        assert got[0]["n_dups"] == 39
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )

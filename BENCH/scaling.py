@@ -64,7 +64,29 @@ def ensure_data() -> None:
     spark.stop()
 
 
+def _host_hygiene() -> None:
+    """OPT-IN (SCALING_HYGIENE=1) page-cache drop + memory compaction
+    before a timed run.  Measured on this VM (see BENCH/BASELINE.md
+    forensics): it RAISES the small-footprint pure-numpy kernel microbench
+    (0.74 -> 0.84-0.89 efficiency at 2->8 procs) but COLLAPSES full
+    24g-JVM pipeline runs (kperm local[8]: 231-251s before, 392-468s
+    after — the freed memory must be re-faulted through the host's
+    degraded page-zeroing path during the timed region).  Default off;
+    never compare numbers across hygiene states."""
+    os.system("sync")
+    for path, val in (("/proc/sys/vm/drop_caches", "3"),
+                      ("/proc/sys/vm/compact_memory", "1")):
+        try:
+            with open(path, "w") as f:
+                f.write(val)
+        except OSError:
+            pass
+    time.sleep(2)
+
+
 def run_once(cores: int, scheme: str) -> dict:
+    if os.environ.get("SCALING_HYGIENE"):
+        _host_hygiene()
     out = subprocess.run(
         [sys.executable, os.path.join(HERE, "scaling_run.py"),
          "--cores", str(cores), "--path", DATA, "--scheme", scheme],
@@ -105,8 +127,13 @@ def main() -> None:
             best["all_pages_per_sec"] = [x["pages_per_sec"] for x in runs]
             res[c] = best
         eff = (res[hi]["pages_per_sec"] / res[lo]["pages_per_sec"]) / (hi / lo)
-        summary["schemes"][scheme] = {
+        # SCALING_LABEL names this invocation's entry so several
+        # (scheme, core-pair) measurements can coexist in one scaling.json
+        # (e.g. "oph 2->8" and "oph 1->4")
+        label = os.environ.get("SCALING_LABEL") or scheme
+        summary["schemes"][label] = {
             "rows": N_ROWS,
+            "scheme": scheme,
             "low": res[lo], "high": res[hi],
             "scaling_efficiency": round(eff, 3),
         }

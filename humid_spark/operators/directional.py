@@ -112,7 +112,7 @@ def _replay_factory(maximum: bool, max_nodes: int):
 
 
 def directional_label_propagation(
-    nodes: DataFrame, edges: DataFrame, max_rounds: int = 40
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 70
 ) -> DataFrame:
     """Distributed directional clustering for components too large to
     replay in one worker (see module docstring for the semantics mapping).
@@ -125,7 +125,9 @@ def directional_label_propagation(
     per-round driver collect).  Every node is reachable downhill from at
     least one local max (an unreachable node would itself be a local max),
     so the fixpoint labels everything; rounds are bounded by the downhill
-    depth <= log2(max count)."""
+    depth <= log2(max count) <= 63 for int64 counts (max_rounds=70 covers
+    the worst case, and the final left-join in cluster_keys falls back to
+    label=key so a non-converged run can never silently drop rows)."""
     from humid_spark.operators.cc import _observed_checkpoint
 
     cnt = nodes.select(F.col("key"), F.col("count"))
@@ -184,9 +186,11 @@ def cluster_keys(
     )
 
     # Divert components too large for a single-worker replay (either
-    # dimension — cogrouped Arrow batches materialize per group) to the
-    # distributed label-propagation path.  `over` is an aggregate of
-    # component ids — tiny by construction (giant components are rare), so
+    # dimension — cogrouped Arrow batches materialize per group) to a
+    # distributed path: pure aggregation in max mode (EXACT — cluster ==
+    # component), directional label propagation otherwise.  `over` is an
+    # aggregate of component ids — tiny by construction (giant components
+    # are rare), so
     # it broadcasts; the existence check is one count() on that aggregate.
     comp_sz = (
         nodes.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -201,24 +205,44 @@ def cluster_keys(
         | (F.col("n_edges") > 4 * max_component_nodes)
     ).select("component").localCheckpoint(eager=True)
     lp_rows = None
-    if not maximum and over.limit(1).count() > 0:
+    if over.limit(1).count() > 0:
         nodes_o = nodes.join(F.broadcast(over), "component")
-        edges_o = edges_c.join(F.broadcast(over), "component")
-        labels = directional_label_propagation(
-            nodes_o.select("key", "count"), edges_o.select("src", "dst")
-        )
-        lab_nodes = nodes_o.join(labels, "key")
-        cl_agg = lab_nodes.groupBy("label").agg(
-            F.min("key").alias("cluster_seed"),
-            F.sum("count").alias("cluster_size"),
-            # reference representative approximation: max count, ties to
-            # the smaller key (src/cluster.cc:20-25 first-max-wins)
-            F.min(
-                F.struct((-F.col("count")).alias("nc"),
-                         F.col("key").alias("k"))
-            ).alias("mx"),
-        )
-        lp_rows = lab_nodes.join(cl_agg, "label").select(
+        if maximum:
+            # Max-mode cluster == whole component, so the oversized rows
+            # are EXACT as pure aggregations (seed = min key, size = sum,
+            # representative = first max in walk order = min (-count, key))
+            # — no single-worker materialization of the giant component.
+            agg = nodes_o.groupBy("component").agg(
+                F.min("key").alias("cluster_seed"),
+                F.sum("count").alias("cluster_size"),
+                F.min(
+                    F.struct((-F.col("count")).alias("nc"),
+                             F.col("key").alias("k"))
+                ).alias("mx"),
+            )
+            lab_nodes = nodes_o.join(agg, "component")
+        else:
+            edges_o = edges_c.join(F.broadcast(over), "component")
+            labels = directional_label_propagation(
+                nodes_o.select("key", "count"), edges_o.select("src", "dst")
+            )
+            # left join + fallback label=key: a hypothetical non-converged
+            # LP run degrades to singletons instead of silently dropping rows
+            lab = nodes_o.join(labels, "key", "left").withColumn(
+                "label", F.coalesce(F.col("label"), F.col("key"))
+            )
+            cl_agg = lab.groupBy("label").agg(
+                F.min("key").alias("cluster_seed"),
+                F.sum("count").alias("cluster_size"),
+                # reference representative approximation: max count, ties
+                # to the smaller key (src/cluster.cc:20-25 first-max-wins)
+                F.min(
+                    F.struct((-F.col("count")).alias("nc"),
+                             F.col("key").alias("k"))
+                ).alias("mx"),
+            )
+            lab_nodes = lab.join(cl_agg, "label")
+        lp_rows = lab_nodes.select(
             "key", "count", "first_ts", "first_url", "component",
             "cluster_seed", "cluster_size",
             F.col("mx.k").alias("max_key"),
@@ -229,6 +253,10 @@ def cluster_keys(
         edges_c = edges_c.join(F.broadcast(over), "component", "left_anti")
 
     replay = _replay_factory(maximum, max_component_nodes)
+    return _finish(nodes, edges_c, replay, lp_rows)
+
+
+def _finish(nodes, edges_c, replay, lp_rows) -> DataFrame:
     n_buckets = 1024
     rb = lambda c: F.pmod(F.xxhash64(c), F.lit(n_buckets))  # noqa: E731
     clustered = (

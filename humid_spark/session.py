@@ -54,8 +54,12 @@ def get_spark(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         # let AQE broadcast joins from RUNTIME shuffle sizes (e.g. the
         # doc->cluster map in the annotate join) — at true web scale the
-        # map exceeds this and falls back to a shuffle join automatically
-        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256m")
+        # map exceeds this and falls back to a shuffle join automatically.
+        # Env-overridable: the broadcast hash relation is built serially
+        # on one thread, so the right ceiling depends on how much serial
+        # build time the deployment can amortize (see BENCH/BASELINE.md)
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                os.environ.get("SPARK_GRAFT_AQE_BCAST", "256m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

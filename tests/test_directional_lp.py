@@ -147,6 +147,35 @@ def test_cluster_keys_routes_oversized_through_lp(spark, planted):
     assert ids == list(range(1, len(members) + 1))
 
 
+def test_cluster_keys_oversized_max_mode_exact(spark, planted):
+    """Max-mode cluster == whole component, so the oversized path is a
+    pure aggregation and must match the sequential greedy EXACTLY
+    (membership, seed, size, representative) — no recall budget."""
+    counts, edges, _, _ = planted
+    adj: dict[str, list[str]] = {k: [] for k in counts}
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    idx_of, clusters = cluster_greedy(counts, adj, maximum=True)
+    uniq = spark.createDataFrame(
+        [(k, c, None, k) for k, c in counts.items()],
+        "key string, count long, first_ts timestamp, first_url string",
+    )
+    pairs = spark.createDataFrame(edges, "src string, dst string")
+    out = cluster_keys(uniq, pairs, maximum=True,
+                       max_component_nodes=100).collect()
+    assert len(out) == len(counts)
+    assert all(r["oversized"] for r in out)
+    by_key = {r["key"]: r for r in out}
+    for k, i in idx_of.items():
+        cl = clusters[i]
+        r = by_key[k]
+        assert r["cluster_seed"] == cl.seed_key
+        assert r["cluster_size"] == cl.size
+        assert r["max_key"] == cl.max_key
+        assert r["max_count"] == cl.max_count
+
+
 def test_cluster_keys_small_components_still_exact(spark, planted):
     """With a huge cap the same graph takes the exact replay path and
     matches the oracle COMPLETELY (not just >=0.99)."""

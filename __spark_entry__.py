@@ -621,6 +621,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_hyperplane_topk"] = ann_lsh
 
+    # --- similarity search: IVF (spherical-kmeans inverted lists; the
+    #     clustered-data scale path; approximate -> rows-only check,
+    #     recall + full-probe-exactness pinned in tests/test_ann.py) ---
+    def ann_ivf(s, d):
+        from humid_spark.operators.ann import ivf_topk
+
+        emb = _t(s, d, "embeddings")
+        return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
+                        n_centroids=32, n_probe=8)
+
+    q["ann_ivf_topk"] = ann_ivf
+
     # --- containment/substring dups: winnowing fingerprints (batched
     #     numpy UDF; oracle-checked — the full winnowing pass is
     #     re-expressed in DuckDB list ops, see oracle_sql) ---
@@ -1144,9 +1156,10 @@ def oracle_sql() -> dict[str, str]:
           AND length(a.text) >= 23 AND contains(b.text, a.text)
     """
 
-    # ann_hyperplane_topk intentionally omitted: approximate operator
-    # (random-hyperplane blocking); the driver records rows-only, and
-    # tests/test_ann.py pins recall against the exact operator.
+    # ann_hyperplane_topk / ann_ivf_topk intentionally omitted: approximate
+    # operators (random-hyperplane blocking / kmeans inverted lists); the
+    # driver records rows-only, and tests/test_ann.py pins recall against
+    # the exact operator (plus full-probe == exact for IVF).
     # directional_clusters intentionally omitted: sequential greedy semantics
     # (reference src/cluster.cc:39-87) are not SQL-expressible; the driver
     # records the weaker rows-only check and pytest pins exact parity.

@@ -15,6 +15,16 @@ dedup/curation engine.  Two paths:
   corpus rows within `radius` sketch-bits of the query (blocked on the
   first `block_bits` bits so the join is an equi-join, not a cross join),
   then exact cosine rerank of candidates only.
+
+- `ivf_topk`: the clustered-data scale path — spherical k-means centroids
+  trained once on a deterministic bounded sample (driver-side numpy,
+  O(sample * dim), input-size-independent), corpus partitioned into
+  inverted lists by nearest centroid (one vectorized argmax per Arrow
+  batch), queries probe their `n_probe` nearest cells, candidates come
+  from an equi-join on the cell id, exact cosine rerank of candidates
+  only.  Unlike SRP-LSH (data-independent planes), IVF adapts its
+  partitions to the data distribution — higher recall per candidate on
+  clustered embedding corpora.
 """
 
 from __future__ import annotations
@@ -111,6 +121,109 @@ def make_table_sketch_udf(dim: int | None = None, n_tables: int = 16,
         return pd.Series(list(buckets))
 
     return sketch
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 64,
+    sample_size: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means (Lloyd on L2-normalized vectors) over a
+    DETERMINISTIC bounded sample: rows ranked by xxhash64(id) — an
+    unbiased, order-free, resumable sample — capped at `sample_size`, so
+    driver memory and training cost are independent of corpus size
+    (sample_size * dim doubles; ~10MB at 20k x 64).  Returns a
+    (n_centroids, dim) float64 array of unit centroids."""
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(x))
+    cents = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members) == 0:  # reseed empty cell from the sample
+                cents[c] = x[rng.integers(len(x))]
+            else:
+                m = members.sum(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    sample_size: int = 20_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: corpus rows live in the inverted list of
+    their nearest centroid; each query probes its `n_probe` nearest cells;
+    only the probed cells' rows are exactly scored.  The candidate join is
+    an equi-join on the cell id (never a cross join); expected candidate
+    volume is |corpus| * n_probe / n_centroids per query.  Missing a true
+    neighbour requires it to live outside all probed cells — tune
+    n_probe/n_centroids per recall target (pytest pins >= 0.9 on planted
+    clustered data at the defaults)."""
+    cents = train_centroids(
+        corpus, n_centroids, sample_size, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+    def _cells_udf(top: int):
+        @pandas_udf(T.ArrayType(T.IntegerType()))
+        def cells(vecs: pd.Series) -> pd.Series:
+            mat = np.stack(vecs.to_numpy()).astype(np.float64)
+            mat /= np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            sims = mat @ cents.T                       # (n, k)
+            top_idx = np.argsort(-sims, axis=1)[:, :top].astype(np.int32)
+            return pd.Series(list(top_idx))
+
+        return cells
+
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        _cells_udf(1)(F.col(vec_col))[0].alias("cell"),
+    )
+    q_b = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(_cells_udf(n_probe)(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        c.join(F.broadcast(q_b), "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "qvec", "cid", "cvec")
+    )
+    scored = cand.withColumn(
+        "score",
+        dot_double(F.col("qvec"), F.col("cvec"))
+        / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.col("rank").cast("long").alias("rank"))
+    )
 
 
 def hyperplane_topk(

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from humid_spark.operators.ann import cosine_topk, hyperplane_topk
+from humid_spark.operators.ann import cosine_topk, hyperplane_topk, ivf_topk
 
 DIM = 32
 
@@ -44,6 +44,33 @@ def test_cosine_topk_matches_numpy(planted):
         )[:5]
         expect = [cid for _s, cid in scores]
         assert [c for _r, c in sorted(got[qid])] == expect, f"qid {qid}"
+
+
+def test_ivf_recall_on_planted_neighbours(planted):
+    """IVF with 32 cells / 8 probes finds the planted near-dup (cos ~0.95)
+    as top-1 for >= 90% of queries (deterministic seeds throughout)."""
+    df, _base, _noisy = planted
+    queries = df.filter(F.col("vec_id") < 200)
+    approx = ivf_topk(df, queries, k=1, n_centroids=32, n_probe=8)
+    top1 = {r["qid"]: r["cid"] for r in approx.collect() if r["rank"] == 1}
+    hits = sum(1 for q in range(200) if top1.get(q) == 1000 + q)
+    recall = hits / 200
+    assert recall >= 0.90, f"planted-neighbour recall {recall:.3f} < 0.90"
+
+
+def test_ivf_full_probe_equals_exact(planted):
+    """Probing every cell makes IVF candidate generation exhaustive, so the
+    result must equal the exact brute-force top-k EXACTLY (same ranks, same
+    tie-breaks) — pins the rerank math and the no-duplicate-candidates
+    property (each corpus row lives in exactly one cell)."""
+    df, _base, _noisy = planted
+    queries = df.filter(F.col("vec_id") < 20)
+    exact = {(r["qid"], r["rank"]): r["cid"]
+             for r in cosine_topk(df, queries, k=5).collect()}
+    ivf = {(r["qid"], r["rank"]): r["cid"]
+           for r in ivf_topk(df, queries, k=5, n_centroids=16,
+                             n_probe=16).collect()}
+    assert ivf == exact
 
 
 def test_hyperplane_recall_on_planted_neighbours(planted):

@@ -1,0 +1,151 @@
+"""CLI entry point — the reference's command-line surface, Spark-shaped.
+
+Mirrors HUMID's interface (reference src/humid.cc:413-429: `humid [-n 24]
+[-m 1] [-e] [-x] [-s] [-q] [-a] [-d DIR] files`) over parquet pages tables
+instead of FastQ files, and adds the engine-mode (MinHash/LSH) flags the
+reference lacks.  Launchable three ways, all equivalent:
+
+    python -m humid_spark -d out/ pages.parquet              # local[N]
+    python -m humid_spark --mode web --cores 8 ... pages.parquet
+    spark-submit --py-files humid_spark.zip humid_spark/__main__.py \
+        --cores 0 -d out/ pages.parquet                      # cluster
+                                                             # (master from
+                                                             # spark-submit)
+
+`--cores 0` inherits the master from spark-submit (the north_rule launch
+shape); any other value runs local[cores].
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="humid_spark", description="Deduplicate a pages dataset.",
+    )
+    # reference-parity flags (src/humid.cc:419-427)
+    p.add_argument("-n", "--word-length", type=int, default=24,
+                   help="word length (reference -n)")
+    p.add_argument("-m", "--mismatches", type=int, default=1,
+                   help="allowed mismatches (reference -m)")
+    p.add_argument("-e", "--edit", action="store_true",
+                   help="use edit distance (reference -e)")
+    p.add_argument("-x", "--max-clustering", action="store_true",
+                   help="use maximum clustering method (reference -x)")
+    p.add_argument("-s", "--stats", action="store_true",
+                   help="calculate statistics (reference -s)")
+    p.add_argument("-q", "--no-dedup", action="store_true",
+                   help="skip the deduplicated output (reference -q "
+                        "defaults ON; this flag turns it off)")
+    p.add_argument("-a", "--annotate", action="store_true",
+                   help="write annotated output (reference -a)")
+    p.add_argument("-d", "--out-dir", default=".",
+                   help="output directory (reference -d)")
+    p.add_argument("-l", "--log", default=None,
+                   help="log file name (reference -l; default stderr)")
+    # engine-mode flags (no reference equivalent)
+    p.add_argument("--mode", choices=["parity", "web"], default="parity",
+                   help="parity: reference key semantics (Hamming/edit "
+                        "neighbour join); web: MinHash/LSH near-dup engine")
+    p.add_argument("--scheme", choices=["kperm", "oph"], default=None,
+                   help="MinHash scheme (web mode; default from config)")
+    p.add_argument("--alphabet", default=None,
+                   help="restrict usable keys to this alphabet "
+                        "(e.g. ACGT for FastQ-shaped data)")
+    p.add_argument("--url-key-prefix", action="store_true",
+                   help="UMI analog: prepend the url's last token")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="resumable-stage checkpoint directory")
+    p.add_argument("--cores", type=int, default=None,
+                   help="local[cores]; 0 = inherit master from "
+                        "spark-submit (cluster mode)")
+    p.add_argument("files", nargs="+", help="input parquet pages tables")
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+
+    from humid_spark.config import DedupConfig
+    from humid_spark.session import get_spark
+
+    cfg_kwargs = dict(
+        word_length=args.word_length,
+        mismatches=args.mismatches,
+        use_edit=args.edit,
+        max_clustering=args.max_clustering,
+        write_dedup=not args.no_dedup,
+        write_annotated=args.annotate,
+        write_stats=args.stats,
+        alphabet=args.alphabet,
+        url_key_prefix=args.url_key_prefix,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    if args.scheme:
+        cfg_kwargs["minhash_scheme"] = args.scheme
+    cfg = DedupConfig(**cfg_kwargs)
+
+    log = open(args.log, "a") if args.log else sys.stderr
+    t0 = time.time()
+    spark = get_spark("humid_spark-cli", cores=args.cores)
+    pages = spark.read.parquet(*args.files)
+
+    if args.mode == "web":
+        from humid_spark.plans.webdedup import run_web_pipeline
+        from humid_spark.sources.io import CheckpointStore, input_snapshot_of
+
+        store = (
+            CheckpointStore(
+                args.checkpoint_dir,
+                input_snapshot=input_snapshot_of(args.files),
+                config_hash=cfg.config_hash(),
+            )
+            if args.checkpoint_dir else None
+        )
+        res = run_web_pipeline(pages, cfg, store=store)
+        out = {}
+        if cfg.write_dedup:
+            res.dedup.write.mode("overwrite").parquet(
+                f"{args.out_dir}/pages_dedup")
+            out["dedup"] = spark.read.parquet(
+                f"{args.out_dir}/pages_dedup").count()
+        if cfg.write_annotated:
+            res.annotated.write.mode("overwrite").parquet(
+                f"{args.out_dir}/pages_annotated")
+            out["annotated"] = spark.read.parquet(
+                f"{args.out_dir}/pages_annotated").count()
+        if cfg.write_stats:
+            from pyspark.sql import functions as F
+
+            (res.uniq.groupBy("count")
+             .agg(F.count(F.lit(1)).alias("n_groups"))
+             .write.mode("overwrite").parquet(f"{args.out_dir}/counts"))
+            out["stats"] = True
+    else:
+        from humid_spark.plans.pipeline import run_pipeline, write_outputs
+
+        res = run_pipeline(pages, cfg)
+        write_outputs(res, args.out_dir, cfg)
+        out = {
+            k: True
+            for k, on in (("dedup", cfg.write_dedup),
+                          ("annotated", cfg.write_annotated),
+                          ("stats", cfg.write_stats))
+            if on
+        }
+
+    print(json.dumps({"mode": args.mode, "out_dir": args.out_dir,
+                      "outputs": out,
+                      "elapsed_sec": round(time.time() - t0, 1)}), file=log)
+    if args.log:
+        log.close()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

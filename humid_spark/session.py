@@ -39,13 +39,20 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # cores=0: do NOT force a master — inherit it from spark-submit /
+    # cluster deployment (the CLI's --cores 0 path); cores=None: local[N]
+    # from SPARK_GRAFT_CPUS
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8) or 32
+    builder = SparkSession.builder.appName(app_name)
+    if cores:
+        builder = builder.master(f"local[{cores}]")
+    if cores:
+        builder = builder.config("spark.default.parallelism", str(cores))
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # keep post-shuffle partitions small enough that CPU-bound pandas-UDF

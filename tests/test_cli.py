@@ -1,0 +1,45 @@
+"""CLI surface (python -m humid_spark): the reference's command-line
+interface (src/humid.cc:413-429) over parquet pages tables.  Runs in a
+subprocess from OUTSIDE the repo root — the deployment-shaped launch (the
+package must ship itself to workers via addPyFile)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_cli_parity_mode_outputs(spark, tmp_path):
+    from humid_spark.sources.pages import fx_webtext, to_spark
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    log = str(tmp_path / "run.log")
+    to_spark(spark, fx_webtext(n_seeds=20)).write.parquet(src)
+
+    env = dict(os.environ, PYTHONPATH=ROOT)
+    res = subprocess.run(
+        [sys.executable, "-m", "humid_spark", "-n", "12", "-s", "-a",
+         "-l", log, "--cores", "4", "-d", out, src],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    # reference output surface: -q dedup (default on), -a annotated,
+    # -s histograms + scalars
+    for sub in ("pages_dedup", "pages_annotated", "counts", "neigh",
+                "clusters", "stats"):
+        assert os.path.isdir(os.path.join(out, sub)), sub
+    # -l log file got the run summary
+    with open(log) as f:
+        summary = json.loads(f.read().strip().splitlines()[-1])
+    assert summary["mode"] == "parity"
+    assert summary["outputs"] == {"dedup": True, "annotated": True,
+                                  "stats": True}
+    # the written dedup table is readable and non-empty
+    assert len(spark.read.parquet(os.path.join(out, "pages_dedup"))
+               .take(1)) == 1

@@ -77,6 +77,18 @@ def q_webdedup(spark: SparkSession, sf_dir: str) -> None:
     _force(res.annotated)
 
 
+def q_webdedup_oph(spark: SparkSession, sf_dir: str) -> None:
+    """Same end-to-end chain with the opt-in OPH signature scheme (the
+    absolute-throughput path; chunked cache-resident kernel)."""
+    from humid_spark.config import DedupConfig
+    from humid_spark.plans.webdedup import run_web_pipeline
+
+    res = run_web_pipeline(
+        _docs_as_pages(spark, sf_dir), DedupConfig(minhash_scheme="oph")
+    )
+    _force(res.annotated)
+
+
 def q_text_analytics(spark: SparkSession, sf_dir: str) -> None:
     """token/quality/lang/fingerprint over documents."""
     import __spark_entry__ as e
@@ -105,6 +117,7 @@ QUERIES = {
     "hamming_cc_annotate": q_hamming_cc,
     "hamming_cc_annotate_n12": q_hamming_cc_n12,
     "webdedup_minhash_lsh": q_webdedup,
+    "webdedup_oph": q_webdedup_oph,
     "text_analytics": q_text_analytics,
     "minhash_sql_jaccard": q_minhash_sql,
     "substring_dups": q_substring_dups,

@@ -179,7 +179,14 @@ def ivf_topk(
     volume is |corpus| * n_probe / n_centroids per query.  Missing a true
     neighbour requires it to live outside all probed cells — tune
     n_probe/n_centroids per recall target (pytest pins >= 0.9 on planted
-    clustered data at the defaults)."""
+    clustered data at the defaults).
+
+    Note: building this query runs ONE deliberate driver action (the
+    bounded centroid-training sample) — an inherent property of IVF
+    (centroids must exist before the plan can partition by them), not a
+    schema probe; cost is capped by sample_size regardless of corpus
+    size, and a production deployment would persist trained centroids
+    alongside the index."""
     cents = train_centroids(
         corpus, n_centroids, sample_size, seed=seed,
         id_col=id_col, vec_col=vec_col,

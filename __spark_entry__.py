@@ -633,6 +633,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_topk"] = ann_ivf
 
+    # --- IVF with n_probe == n_centroids: every query probes every cell,
+    #     so the cell-assignment + candidate equi-join + rerank machinery
+    #     runs in full yet the result is EXACTLY brute-force cosine top-k
+    #     — which has a DuckDB oracle.  Hash-matches the IVF plumbing;
+    #     only the probe-subset selection stays rows-only (ann_ivf_topk).
+    def ann_ivf_full(s, d):
+        from humid_spark.operators.ann import ivf_topk
+
+        emb = _t(s, d, "embeddings")
+        return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
+                        n_centroids=32, n_probe=32)
+
+    q["ann_ivf_full_probe"] = ann_ivf_full
+
     # --- containment/substring dups: winnowing fingerprints (batched
     #     numpy UDF; oracle-checked — the full winnowing pass is
     #     re-expressed in DuckDB list ops, see oracle_sql) ---
@@ -995,6 +1009,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT qid, cid, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
     """
 
+    # IVF at n_probe == n_centroids degenerates to exact brute-force cosine
+    # (every cell probed), so the full-probe query shares the exact oracle —
+    # hash-matching the cell-assign/equi-join/rerank machinery end to end.
+    o["ann_ivf_full_probe"] = o["ann_cosine_topk"]
+
     # --- containment_pairs: winnowing IS deterministic integer math, so
     #     the whole pass (k-gram polynomial hash mod P31, window-w minima,
     #     per-doc distinct, inverted index with the fp_cap, containment
@@ -1054,7 +1073,14 @@ def oracle_sql() -> dict[str, str]:
     #     match Spark LongType.  Pair generation is brute-force
     #     hamming<=3 — exactly the engine's band-blocked + verified +
     #     distinct pair set, by the pigeonhole argument in
-    #     lsh.simhash_pairs. ---
+    #     lsh.simhash_pairs.
+    #     VALIDITY: ASCII-only corpora.  The engine hashes UTF-8 BYTES
+    #     (np.frombuffer over text.encode) while ascii(substring(..)) here
+    #     hashes CODEPOINTS over char positions — identical iff every char
+    #     is single-byte.  The driver's documents table is pure ASCII
+    #     (checked, same caveat as the winnowing oracle above); a
+    #     non-ASCII corpus needs a blob/encode()-based reformulation
+    #     before this oracle's hash-match means anything. ---
     from humid_spark.functions.signatures import mix64_duckdb
 
     sh_terms = " + ".join(

@@ -93,10 +93,9 @@ def main(argv: list[str] | None = None) -> None:
     log = open(args.log, "a") if args.log else sys.stderr
     t0 = time.time()
     spark = get_spark("humid_spark-cli", cores=args.cores)
-    pages = spark.read.parquet(*args.files)
+    try:
+        pages = spark.read.parquet(*args.files)
 
-    if args.mode == "web":
-        from humid_spark.plans.webdedup import run_web_pipeline
         from humid_spark.sources.io import CheckpointStore, input_snapshot_of
 
         store = (
@@ -107,44 +106,58 @@ def main(argv: list[str] | None = None) -> None:
             )
             if args.checkpoint_dir else None
         )
-        res = run_web_pipeline(pages, cfg, store=store)
-        out = {}
-        if cfg.write_dedup:
-            res.dedup.write.mode("overwrite").parquet(
-                f"{args.out_dir}/pages_dedup")
-            out["dedup"] = spark.read.parquet(
-                f"{args.out_dir}/pages_dedup").count()
-        if cfg.write_annotated:
-            res.annotated.write.mode("overwrite").parquet(
-                f"{args.out_dir}/pages_annotated")
-            out["annotated"] = spark.read.parquet(
-                f"{args.out_dir}/pages_annotated").count()
-        if cfg.write_stats:
+
+        if args.mode == "web":
+            from pyspark.sql import Observation
             from pyspark.sql import functions as F
 
-            (res.uniq.groupBy("count")
-             .agg(F.count(F.lit(1)).alias("n_groups"))
-             .write.mode("overwrite").parquet(f"{args.out_dir}/counts"))
-            out["stats"] = True
-    else:
-        from humid_spark.plans.pipeline import run_pipeline, write_outputs
+            from humid_spark.plans.webdedup import run_web_pipeline
 
-        res = run_pipeline(pages, cfg)
-        write_outputs(res, args.out_dir, cfg)
-        out = {
-            k: True
-            for k, on in (("dedup", cfg.write_dedup),
-                          ("annotated", cfg.write_annotated),
-                          ("stats", cfg.write_stats))
-            if on
-        }
+            res = run_web_pipeline(pages, cfg, store=store)
+            out = {}
 
-    print(json.dumps({"mode": args.mode, "out_dir": args.out_dir,
-                      "outputs": out,
-                      "elapsed_sec": round(time.time() - t0, 1)}), file=log)
-    if args.log:
-        log.close()
-    spark.stop()
+            # Row counts ride the write actions as observe() metrics —
+            # no second scan of the output tables (cf. cc.py's
+            # observe-on-checkpoint pattern).
+            def _observed_write(df, path):
+                obs = Observation()
+                (df.observe(obs, F.count(F.lit(1)).alias("rows"))
+                 .write.mode("overwrite").parquet(path))
+                return int(obs.get["rows"])
+
+            if cfg.write_dedup:
+                out["dedup"] = _observed_write(
+                    res.dedup, f"{args.out_dir}/pages_dedup")
+            if cfg.write_annotated:
+                out["annotated"] = _observed_write(
+                    res.annotated, f"{args.out_dir}/pages_annotated")
+            if cfg.write_stats:
+                (res.uniq.groupBy("count")
+                 .agg(F.count(F.lit(1)).alias("n_groups"))
+                 .write.mode("overwrite").parquet(f"{args.out_dir}/counts"))
+                out["stats"] = True
+            res.release()
+        else:
+            from humid_spark.plans.pipeline import run_pipeline, write_outputs
+
+            res = run_pipeline(pages, cfg, store=store)
+            write_outputs(res, args.out_dir, cfg)
+            out = {
+                k: True
+                for k, on in (("dedup", cfg.write_dedup),
+                              ("annotated", cfg.write_annotated),
+                              ("stats", cfg.write_stats))
+                if on
+            }
+
+        print(json.dumps({"mode": args.mode, "out_dir": args.out_dir,
+                          "outputs": out,
+                          "elapsed_sec": round(time.time() - t0, 1)}),
+              file=log)
+    finally:
+        if args.log:
+            log.close()
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -39,6 +39,8 @@ by the >=0.99 recall budget (SURVEY.md §4.3.6).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -256,8 +258,28 @@ def cluster_keys(
     return _finish(nodes, edges_c, replay, lp_rows)
 
 
+def _n_replay_buckets(spark) -> int:
+    """Replay cogroup bucket count, sized to the deployment instead of a
+    constant: each bucket's (nodes, edges) cogroup materializes as ONE
+    Arrow group in one worker, so bucket count must grow with the data the
+    cluster is sized for.  32 x shuffle.partitions tracks that sizing
+    (local[32] default 32 -> 1024, a 2000-partition cluster -> 64000,
+    keeping expected bucket payload ~1/32nd of a shuffle partition);
+    SPARK_GRAFT_REPLAY_BUCKETS overrides for deployments that know their
+    key count.  Per-component caps bound ONE component; this bounds one
+    BUCKET (many tiny components hashing together)."""
+    env = os.environ.get("SPARK_GRAFT_REPLAY_BUCKETS")
+    if env:
+        return max(1, int(env))
+    try:
+        sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        sp = 200
+    return max(256, 32 * sp)
+
+
 def _finish(nodes, edges_c, replay, lp_rows) -> DataFrame:
-    n_buckets = 1024
+    n_buckets = _n_replay_buckets(nodes.sparkSession)
     rb = lambda c: F.pmod(F.xxhash64(c), F.lit(n_buckets))  # noqa: E731
     clustered = (
         nodes.withColumn("rbucket", rb(F.col("component")))

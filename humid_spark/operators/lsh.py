@@ -42,7 +42,8 @@ def band_buckets(sigs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id",
 
 
 def candidate_pairs(buckets: DataFrame, cfg: DedupConfig,
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    track: list | None = None) -> DataFrame:
     """Within-bucket pair generation with explicit skew control:
 
     - size < 2                     -> no pairs (skipped)
@@ -65,20 +66,26 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig,
     eligible = sizes.filter(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.bucket_cap)
     )
-    # Materialize the eligible-bucket membership ONCE, serialized
-    # (MEMORY_AND_DISK is the serialized level in Spark 4; lz4 via
-    # spark.rdd.compress).  Without this the cold and hot self-joins each
-    # recompute the 16x band explode AND the sizes aggregation on BOTH
-    # sides — ~6 passes over the signature checkpoint per run.  Measured
-    # (min-of-3 interleaved, 3M rows, local[8]): candidate+verify stage
-    # 77.3s -> 51.1s.  Lazy: first action materializes, every branch
+    # Materialize the eligible-bucket membership ONCE (compressed columnar
+    # cache, spills to disk).  Without this the cold and hot self-joins
+    # each recompute the 16x band explode AND the sizes aggregation on
+    # BOTH sides — ~6 passes over the signature checkpoint per run.
+    # Measured (min-of-3 interleaved, 3M rows, local[8]): candidate+verify
+    # stage 77.3s -> 51.1s.  Lazy: first action materializes, every branch
     # reuses; the table holds only multi-member-bucket rows, a small
-    # fraction of the explode at any scale.
+    # fraction of the explode at any scale.  persist (not localCheckpoint)
+    # so the caller can RELEASE the blocks when the stage is done —
+    # lineage stays intact, so a post-release action merely recomputes
+    # instead of failing; long-lived sessions (bench loops, repeated CLI
+    # runs) no longer accumulate executor storage (appended to `track`,
+    # surfaced as WebDedupResult.release()).
     from pyspark import StorageLevel
 
-    pruned = buckets.join(eligible, ["band", "bucket"]).localCheckpoint(
-        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    pruned = buckets.join(eligible, ["band", "bucket"]).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    if track is not None:
+        track.append(pruned)
 
     cold = pruned.filter(F.col("bucket_size") < salt_threshold)
     a = cold.alias("a")

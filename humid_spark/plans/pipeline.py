@@ -20,6 +20,7 @@ from humid_spark.config import DedupConfig
 from humid_spark.functions.keys import peek_umi_size, with_key_columns
 from humid_spark.operators import blocking, exact, stats
 from humid_spark.operators.directional import cluster_keys
+from humid_spark.sources.io import CheckpointStore
 
 
 @dataclass
@@ -43,7 +44,23 @@ def neighbour_pairs(uniq: DataFrame, cfg: DedupConfig) -> DataFrame:
     return blocking.hamming_pairs(uniq, cfg.word_length, cfg.mismatches)
 
 
-def run_pipeline(pages: DataFrame, cfg: DedupConfig) -> DedupResult:
+def run_pipeline(
+    pages: DataFrame,
+    cfg: DedupConfig,
+    store: CheckpointStore | None = None,
+) -> DedupResult:
+    """With `store`, the three expensive stages (unique keys, neighbour
+    pairs, clusters) checkpoint to parquet keyed by (input snapshot, config
+    hash, stage) — the same resumable three-stage shape as
+    `run_web_pipeline` (north_rule resumability for BOTH engine modes)."""
+    spark = pages.sparkSession
+
+    def staged(stage, compute):
+        if store is None:
+            return compute()
+        df, _cached = store.get_or_compute(spark, stage, compute)
+        return df
+
     # S2 probe: one O(1) driver action measuring the first record's url
     # token length, parameterizing the key plan for the whole run
     # (reference peekUMI + preCompute, src/humid.cc:24-59)
@@ -53,11 +70,14 @@ def run_pipeline(pages: DataFrame, cfg: DedupConfig) -> DedupResult:
         else None
     )
     keyed = with_key_columns(pages, cfg, umi_size=umi_size)
-    uniq = exact.unique_keys(keyed)
-    pairs = neighbour_pairs(uniq, cfg)
-    clusters = cluster_keys(
-        uniq, pairs, maximum=cfg.max_clustering,
-        max_component_nodes=cfg.max_component_nodes,
+    uniq = staged("uniq", lambda: exact.unique_keys(keyed))
+    pairs = staged("pairs", lambda: neighbour_pairs(uniq, cfg))
+    clusters = staged(
+        "clusters",
+        lambda: cluster_keys(
+            uniq, pairs, maximum=cfg.max_clustering,
+            max_component_nodes=cfg.max_component_nodes,
+        ),
     )
 
     key_to_cluster = clusters.select("key", "cluster_id", "max_key")

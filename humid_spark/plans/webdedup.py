@@ -44,7 +44,21 @@ class WebDedupResult:
     clusters: DataFrame    # doc_id -> cluster_id (over ALL usable docs)
     annotated: DataFrame   # pages + cluster_id (0 = unusable)
     dedup: DataFrame       # one representative row per cluster
-    demoted: DataFrame     # capped hot buckets (lineage)
+    demoted: DataFrame     # capped hot LSH buckets (lineage)
+    demoted_fps: DataFrame | None = None  # capped winnow fingerprints
+                                          # (lineage; None unless
+                                          # cfg.use_containment)
+    persisted: list = None  # persisted intermediates (see release())
+
+    def release(self) -> None:
+        """Unpersist the pipeline's cached intermediates (the pruned LSH
+        bucket membership and the unique-signature table).  Safe at any
+        point — the cached plans keep their lineage, so a later action on
+        any result DataFrame recomputes instead of failing.  Call once the
+        results are materialized (written / collected) so long-lived
+        sessions running many pipelines don't accumulate executor storage."""
+        for df in self.persisted or ():
+            df.unpersist()
 
 
 def run_web_pipeline(
@@ -102,34 +116,52 @@ def run_web_pipeline(
             F.first("minhash").alias("minhash"),
         ),
     )
+    persisted: list = []
     if store is None:
         # materialize once: bands, verify (two self-joins) and the fan-out
         # all reuse this table — the resident-state analog of the
-        # reference's trie (never recomputed per pass).
-        uniq = uniq.localCheckpoint(eager=True)
+        # reference's trie (never recomputed per pass).  persist (not
+        # localCheckpoint): lineage survives, so release() is always safe.
+        from pyspark import StorageLevel
+
+        uniq = uniq.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(uniq)
     sigs = uniq.select(F.col("rep_doc_id").alias("doc_id"), "minhash")
 
     buckets = lsh.band_buckets(sigs, cfg)
     demoted = lsh.demoted_buckets(buckets, cfg)
     pairs = staged(
         "pairs",
-        lambda: lsh.verify_pairs(lsh.candidate_pairs(buckets, cfg), sigs, cfg),
+        lambda: lsh.verify_pairs(
+            lsh.candidate_pairs(buckets, cfg, track=persisted), sigs, cfg
+        ),
     )
 
     # Containment pass (winnowing) finds substring dups LSH misses; its
-    # edges union with the near-dup edges before clustering.
+    # edges union with the near-dup edges before clustering.  Its cap
+    # demotions join the lineage surface (demoted_fps) exactly like the
+    # LSH bucket demotions — capped coverage is never silent.
+    demoted_fps = None
+    rep_texts = None
+    if cfg.use_containment:
+        from humid_spark.operators.containment import demoted_fingerprints
+
+        # winnowing needs the representative texts; fetch them with a
+        # semi-join on doc_id (AQE broadcasts the id set at runtime
+        # when it is small)
+        rep_texts = usable.join(
+            uniq.select(F.col("rep_doc_id").alias("doc_id")),
+            "doc_id", "semi",
+        ).select("doc_id", "text")
+        demoted_fps = demoted_fingerprints(
+            rep_texts, k=cfg.winnow_k, w=cfg.winnow_w
+        )
+
     def _edge_set():
         edges = pairs.select("src", "dst")
         if cfg.use_containment:
             from humid_spark.operators.containment import containment_pairs
 
-            # winnowing needs the representative texts; fetch them with a
-            # semi-join on doc_id (AQE broadcasts the id set at runtime
-            # when it is small)
-            rep_texts = usable.join(
-                uniq.select(F.col("rep_doc_id").alias("doc_id")),
-                "doc_id", "semi",
-            ).select("doc_id", "text")
             cont = containment_pairs(
                 rep_texts,
                 k=cfg.winnow_k, w=cfg.winnow_w,
@@ -184,4 +216,5 @@ def run_web_pipeline(
     return WebDedupResult(
         docs=docs, uniq=uniq, sigs=sigs, pairs=pairs, clusters=clusters,
         annotated=annotated, dedup=dedup, demoted=demoted,
+        demoted_fps=demoted_fps, persisted=persisted,
     )

@@ -33,6 +33,23 @@ def _package_zip() -> str:
     return out
 
 
+def _resolve_shuffle_partitions(
+    cores: int, shuffle_partitions: int | None
+) -> int | None:
+    """None return = leave spark.sql.shuffle.partitions UNSET.  Local mode
+    (cores >= 1) pins max(cores, 8).  Cluster mode (cores == 0,
+    spark-submit) must NOT pin a tiny local value — AQE only coalesces
+    DOWN from the initial partition count, so a low pin under-parallelizes
+    every shuffle on a real cluster; inherit the cluster default, unless
+    the deployment overrides via SPARK_GRAFT_SHUFFLE."""
+    if shuffle_partitions is not None:
+        return shuffle_partitions
+    if cores:
+        return max(cores, 8)
+    env = os.environ.get("SPARK_GRAFT_SHUFFLE")
+    return int(env) if env else None
+
+
 def get_spark(
     app_name: str = "humid_spark",
     cores: int | None = None,
@@ -44,15 +61,18 @@ def get_spark(
     # from SPARK_GRAFT_CPUS
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_partitions = shuffle_partitions or max(cores, 8) or 32
+    shuffle_partitions = _resolve_shuffle_partitions(cores, shuffle_partitions)
     builder = SparkSession.builder.appName(app_name)
     if cores:
         builder = builder.master(f"local[{cores}]")
     if cores:
         builder = builder.config("spark.default.parallelism", str(cores))
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     builder = (
         builder
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # keep post-shuffle partitions small enough that CPU-bound pandas-UDF

@@ -191,3 +191,36 @@ def test_cluster_keys_small_components_still_exact(spark, planted):
     want_of = {k: oracle_of[k] for k in counts}
     # exact replay: identical membership keyed by seed
     assert got_of == want_of
+
+def test_replay_bucket_count_scales_with_deployment(spark, monkeypatch):
+    """VERDICT r3 item 3: the replay cogroup bucket count derives from the
+    deployment (shuffle partitions / env override), not a constant —
+    bucket payloads stay bounded as the cluster is sized up."""
+    from humid_spark.operators.directional import _n_replay_buckets
+
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert _n_replay_buckets(spark) == max(256, 32 * sp)
+    monkeypatch.setenv("SPARK_GRAFT_REPLAY_BUCKETS", "7")
+    assert _n_replay_buckets(spark) == 7
+
+
+def test_replay_bucketing_invariance(spark, monkeypatch):
+    """Cluster assignment is bucket-count-invariant: squeezing MANY
+    components into few buckets (7) yields byte-identical clustering to
+    the deployment-sized default."""
+    from humid_spark.config import DedupConfig
+    from humid_spark.plans.pipeline import run_pipeline
+    from humid_spark.sources.pages import fx_webtext, to_spark
+
+    cfg = DedupConfig(word_length=12)
+    pages = to_spark(spark, fx_webtext(n_seeds=20))
+    base = sorted(
+        (r["url"], r["cluster_id"])
+        for r in run_pipeline(pages, cfg).annotated.collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_REPLAY_BUCKETS", "7")
+    squeezed = sorted(
+        (r["url"], r["cluster_id"])
+        for r in run_pipeline(pages, cfg).annotated.collect()
+    )
+    assert squeezed == base

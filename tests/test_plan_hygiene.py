@@ -70,16 +70,34 @@ def test_no_cartesian_products_anywhere(spark):
 def test_webdedup_scan_count_bounded(spark):
     """The engine pipeline reads the pages source a bounded number of times
     (signatures at the scan + the final annotate/fan-out joins) — not once
-    per downstream consumer.  Guards the localCheckpoint('trie') design."""
+    per downstream consumer.  Guards the persisted-'trie' design: every
+    consumer of the unique-signature table must substitute the cache
+    (InMemoryTableScan); the signature UDF may appear ONLY inside a cached
+    subtree (the recompute-on-eviction lineage explain dumps beneath
+    InMemoryTableScan), never as a live node of the annotate plan."""
     from humid_spark.config import DedupConfig
     from humid_spark.plans.webdedup import run_web_pipeline
     from humid_spark.sources.pages import fx_webtext, to_spark
 
     res = run_web_pipeline(to_spark(spark, fx_webtext(n_seeds=10)), DedupConfig())
+    assert res.persisted, "uniq/pruned tables must be persisted"
     plan = _plan(res.annotated)
-    # the uniq signature table must come from the materialized checkpoint,
-    # not be recomputed: no pandas/Arrow eval may appear in the annotate plan
-    assert "ArrowEvalPython" not in plan and "MapInArrow" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    # structural check: each Arrow-UDF node is nested strictly deeper than
+    # some InMemoryTableScan above it (= it lives in a cached subtree)
+    lines = plan.splitlines()
+    imts_stack = []  # indents of InMemoryTableScan nodes seen in the tree
+    for ln in lines:
+        if ln.startswith("("):
+            break  # end of the tree section; node-detail blocks follow
+        name = ln.lstrip(" *+:-")
+        indent = len(ln) - len(name)
+        if "InMemoryTableScan" in ln:
+            imts_stack.append(indent)
+        if "MapInArrow" in ln or "ArrowEvalPython" in ln:
+            assert any(i < indent for i in imts_stack), (
+                f"live (uncached) Arrow UDF in annotate plan:\n{ln}\n{plan}"
+            )
 
 
 def test_hamming_pairs_is_equi_join_on_chunks(spark):

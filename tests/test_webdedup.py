@@ -124,3 +124,37 @@ def test_skew_mega_cluster_and_caps(spark):
     # unusable edge rows: empty text and len < k get cluster 0
     assert annotated[[u for u in annotated if "/len0/" in u][0]]["cluster_id"] == 0
     assert annotated[[u for u in annotated if "/len1/" in u][0]]["cluster_id"] == 0
+
+
+def test_release_unpersists_and_results_survive(spark):
+    """ADVICE r3: persisted intermediates (unique-signature table + pruned
+    LSH bucket membership) are tracked and released; release keeps lineage,
+    so results remain queryable (they recompute)."""
+    from pyspark import StorageLevel
+
+    rows = fx.fx_webtext(n_seeds=20)
+    result = run_web_pipeline(to_spark(spark, rows), CFG)
+    n = result.annotated.count()            # materializes the caches
+    assert result.persisted, "pipeline must track its persisted tables"
+    assert any(
+        df.storageLevel != StorageLevel.NONE for df in result.persisted
+    ), "tracked tables should be persisted"
+    result.release()
+    for df in result.persisted:
+        assert df.storageLevel == StorageLevel.NONE
+    # lineage intact: a post-release action recomputes instead of failing
+    assert result.annotated.count() == n
+
+
+def test_containment_demotions_surfaced(spark):
+    """VERDICT r3 item 7: winnow-fingerprint cap demotions join the lineage
+    surface when the containment pass is on."""
+    rows = fx.fx_webtext(n_seeds=15)
+    cfg = DedupConfig(use_containment=True)
+    res = run_web_pipeline(to_spark(spark, rows), cfg)
+    assert res.demoted_fps is not None
+    assert set(res.demoted_fps.columns) == {"fp", "doc_count"}
+    res.demoted_fps.count()  # runnable plan
+
+    off = run_web_pipeline(to_spark(spark, rows), CFG)
+    assert off.demoted_fps is None

@@ -33,6 +33,26 @@ def _package_zip() -> str:
     return out
 
 
+def _resolve_aqe_broadcast_threshold(cores: int) -> str:
+    """Topology-aware AQE broadcast ceiling (round-3 A/B was inconclusive
+    inside host noise, so the default is now an automatic rule instead of
+    one constant).  The broadcast hash relation is built SERIALLY on one
+    driver thread, so the ceiling a deployment can amortize scales with
+    how much parallel join work the broadcast unlocks — i.e. with the
+    cores the build is feeding: 8m per core, clamped to [32m, 256m]
+    (local[4] -> 32m, the round-3 min-of-3 leader there; local[32] ->
+    256m, the prior default).  cores=0 (cluster, unknown topology) keeps
+    256m — at real web scale the runtime relation sizes exceed any of
+    these and AQE falls back to shuffle joins anyway.  SPARK_GRAFT_AQE_BCAST
+    still overrides."""
+    env = os.environ.get("SPARK_GRAFT_AQE_BCAST")
+    if env:
+        return env
+    if not cores:
+        return "256m"
+    return f"{min(max(8 * cores, 32), 256)}m"
+
+
 def _resolve_shuffle_partitions(
     cores: int, shuffle_partitions: int | None
 ) -> int | None:
@@ -82,11 +102,10 @@ def get_spark(
         # let AQE broadcast joins from RUNTIME shuffle sizes (e.g. the
         # doc->cluster map in the annotate join) — at true web scale the
         # map exceeds this and falls back to a shuffle join automatically.
-        # Env-overridable: the broadcast hash relation is built serially
-        # on one thread, so the right ceiling depends on how much serial
-        # build time the deployment can amortize (see BENCH/BASELINE.md)
+        # Ceiling is topology-aware (serial driver-side build amortizes
+        # against cores fed): see _resolve_aqe_broadcast_threshold.
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
-                os.environ.get("SPARK_GRAFT_AQE_BCAST", "256m"))
+                _resolve_aqe_broadcast_threshold(cores))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

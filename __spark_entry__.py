@@ -647,6 +647,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_full_probe"] = ann_ivf_full
 
+    # --- embedding-cosine near-dup dedup: ALL-INTEGER hyperplane SimHash
+    #     (quantized embeddings x splitmix64-derived integer planes) ->
+    #     band-blocked hamming<=3 -> exact cosine verify.  The sf corpus
+    #     is near-orthogonal (max cos ~0.51), so the query PLANTS
+    #     deterministic near-dups inline — vec_id < 100 re-enters with
+    #     dims d % 7 == 0 scaled by 1.08 (cos ~0.9995) — with the oracle
+    #     replaying the identical construction; the pair set is then
+    #     hash-checked end to end (operators/embdedup.py docstring has the
+    #     integer-reproducibility argument). ---
+    def emb_near_dups(s, d):
+        from humid_spark.operators.embdedup import embedding_near_dup_pairs
+
+        emb = _t(s, d, "embeddings")
+        base = emb.select(
+            "vec_id",
+            F.transform(F.col("embedding"),
+                        lambda x: x.cast("double")).alias("embedding"),
+        )
+        pert = emb.filter(F.col("vec_id") < 100).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x.cast("double")
+                * F.when(i % 7 == 0, F.lit(1.08)).otherwise(F.lit(1.0)),
+            ).alias("embedding"),
+        )
+        return embedding_near_dup_pairs(
+            base.unionByName(pert), cos_threshold=0.99,
+        ).withColumn("bit_dist", F.col("bit_dist").cast("long"))
+
+    q["embedding_near_dups"] = emb_near_dups
+
     # --- containment/substring dups: winnowing fingerprints (batched
     #     numpy UDF; oracle-checked — the full winnowing pass is
     #     re-expressed in DuckDB list ops, see oracle_sql) ---
@@ -1013,6 +1045,76 @@ def oracle_sql() -> dict[str, str]:
     # (every cell probed), so the full-probe query shares the exact oracle —
     # hash-matching the cell-assign/equi-join/rerank machinery end to end.
     o["ann_ivf_full_probe"] = o["ann_cosine_topk"]
+
+    # --- embedding_near_dups: the integer hyperplane SimHash is exact
+    #     int64 math (quantize -> int plane dot -> sign bits), so DuckDB
+    #     replays it bit-identically: planes from mix64 over the flat
+    #     index (seed*2^32 + p*dim + d) mod 2001 - 1000, quantization
+    #     floor(x*1024 + 0.5) (identical float64 semantics), brute-force
+    #     hamming<=3 == the band-blocked set by pigeonhole (3 < 4 bands),
+    #     cosine via the same strict left-to-right double sums as the ANN
+    #     oracle.  Dim fixed at 64 (the driver embeddings table); the
+    #     planted near-dups replicate the Spark query's construction. ---
+    from humid_spark.functions.signatures import mix64_duckdb
+    from humid_spark.operators.embdedup import QUANT, WEIGHT_MOD
+
+    _ebits, _edim, _eseed = 16, 64, 1
+    _emix = mix64_duckdb(f"({_eseed} * 4294967296::HUGEINT + i)")
+    o["embedding_near_dups"] = f"""
+        WITH ve AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+            list_transform(generate_series(1, len(embedding)), i ->
+              CAST(embedding[i] AS DOUBLE) *
+              (CASE WHEN (i - 1) % 7 = 0 THEN 1.08 ELSE 1.0 END))
+          FROM embeddings WHERE vec_id < 100
+        ),
+        q AS (
+          SELECT vec_id,
+            list_transform(v, x -> CAST(floor(x * {QUANT}.0 + 0.5) AS BIGINT)) AS qv
+          FROM ve
+        ),
+        planes AS (
+          SELECT i // {_edim} AS p, i % {_edim} AS d,
+            CAST(({_emix}) % {WEIGHT_MOD} AS BIGINT) - {WEIGHT_MOD // 2} AS w
+          FROM (SELECT unnest(generate_series(0, {_ebits * _edim - 1})) AS i)
+        ),
+        dots AS (
+          SELECT q.vec_id, planes.p, sum(q.qv[planes.d + 1] * planes.w) AS dot
+          FROM q, planes GROUP BY 1, 2
+        ),
+        sigs AS (
+          SELECT vec_id,
+            CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                 AS BIGINT) AS esig
+          FROM dots GROUP BY 1
+        ),
+        cand AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 CAST(bit_count(xor(a.esig, b.esig)) AS BIGINT) AS bit_dist
+          FROM sigs a, sigs b
+          WHERE a.vec_id < b.vec_id
+            AND bit_count(xor(a.esig, b.esig)) <= 3
+        ),
+        ver AS (
+          SELECT c.src, c.dst, c.bit_dist,
+            list_sum(list_transform(generate_series(1, len(x.v)),
+              i -> x.v[i] * y.v[i])) AS dot,
+            sqrt(list_sum(list_transform(generate_series(1, len(x.v)),
+              i -> x.v[i] * x.v[i]))) AS xn,
+            sqrt(list_sum(list_transform(generate_series(1, len(y.v)),
+              i -> y.v[i] * y.v[i]))) AS yn
+          FROM cand c
+          JOIN ve x ON x.vec_id = c.src
+          JOIN ve y ON y.vec_id = c.dst
+        )
+        SELECT src, dst, bit_dist,
+               CAST(floor(dot / (xn * yn) * 1000 + 0.5) AS BIGINT)
+                 AS cos_permille
+        FROM ver WHERE dot / (xn * yn) >= 0.99
+    """
 
     # --- containment_pairs: winnowing IS deterministic integer math, so
     #     the whole pass (k-gram polynomial hash mod P31, window-w minima,

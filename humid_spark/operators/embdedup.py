@@ -1,0 +1,114 @@
+"""Embedding-space near-duplicate detection (the embedding-cosine member
+of the dedup family): integer-quantized hyperplane SimHash signatures ->
+bit-band blocking (pigeonhole recall 1 at hamming <= max_bits) -> exact
+cosine verification on candidates only.
+
+Unlike the gaussian SRP sketch in operators/ann.py (float hyperplanes, so
+only statistically reproducible), this signature is ALL-INTEGER:
+embeddings quantize via floor(x * Q + 0.5) (identical float64 semantics
+in numpy and ANSI SQL), hyperplane weights derive from splitmix64 over
+the plane index (mod 2001, shifted to [-1000, 1000]), and the per-bit dot
+product is exact int64 arithmetic whose result is order-independent.
+That makes the whole operator bit-identically reproducible in any engine
+— the DuckDB oracle in __spark_entry__.oracle_sql replays it end to end
+(mix64_duckdb emulates the avalanche in HUGEINT), so the pair set is
+hash-checked, not just row-counted.
+
+Semantics: a pair is emitted iff BOTH (a) its signatures are within
+max_bits bit-Hamming distance (the blocking predicate — part of the
+operator's definition, like the reference's max-mismatch neighbour rule,
+src/humid.cc:419-420) and (b) exact cosine >= cos_threshold.  For true
+near-dups (cos >= ~0.95) the expected bit distance is
+bits * arccos(cos)/pi ~ 1 of 16, so blocking recall is high by design
+and tunable via bits/max_bits.
+
+Scale: signatures at the scan (one vectorized int-matmul per Arrow
+batch, text/vector payload never enters the candidate shuffle), candidate
+generation is the band equi-join of lsh.simhash_pairs (never all-pairs),
+the cosine verify touches candidates only and joins vectors back by id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from humid_spark.functions.signatures import _mix64
+from humid_spark.operators.ann import _norm, dot_double
+from humid_spark.operators.lsh import simhash_pairs
+
+QUANT = 1024        # embedding quantization step (exact in float64)
+WEIGHT_MOD = 2001   # integer plane weights in [-1000, 1000]
+
+
+def plane_weights(bits: int, dim: int, seed: int) -> np.ndarray:
+    """(bits, dim) int64 hyperplane weights from splitmix64 over the flat
+    plane index offset by seed * 2^32 — reproducible anywhere integers
+    work (mix64_duckdb replays it in SQL)."""
+    idx = (np.uint64(seed) << np.uint64(32)) + np.arange(
+        bits * dim, dtype=np.uint64
+    )
+    w = (_mix64(idx) % np.uint64(WEIGHT_MOD)).astype(np.int64)
+    return (w - WEIGHT_MOD // 2).reshape(bits, dim)
+
+
+def embedding_simhash_udf(bits: int = 16, seed: int = 1):
+    """Vectorized signature kernel: quantize the batch, one int64 matmul
+    against the plane matrix, pack sign bits.  Exact integer arithmetic —
+    no summation-order sensitivity."""
+
+    @pandas_udf(T.LongType())
+    def esig(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        q = np.floor(mat * QUANT + 0.5).astype(np.int64)
+        w = plane_weights(bits, q.shape[1], seed)
+        dots = q @ w.T                       # int64-exact (no BLAS path)
+        bitv = (dots > 0).astype(np.int64)
+        return pd.Series((bitv << np.arange(bits, dtype=np.int64)).sum(axis=1))
+
+    return esig
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    cos_threshold: float = 0.95,
+    bits: int = 16,
+    n_bands: int = 4,
+    max_bits: int = 3,
+    seed: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(src, dst, bit_dist, cos_permille) near-dup pairs over an embedding
+    table.  cos_permille = floor(cos * 1000 + 0.5) keeps the checked
+    surface integer (the underlying cosine is the strict left-to-right
+    double sum of ann.dot_double, reproducible, but an integer column is
+    hash-robust by construction)."""
+    sigs = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        embedding_simhash_udf(bits, seed)(F.col(vec_col)).alias("esig"),
+    )
+    cand = simhash_pairs(
+        sigs, max_bits=max_bits, n_bands=n_bands,
+        id_col="vid", sim_col="esig", sig_bits=bits,
+    )
+    a = sigs.select(F.col("vid").alias("src"), F.col("v").alias("av"))
+    b = sigs.select(F.col("vid").alias("dst"), F.col("v").alias("bv"))
+    cos = dot_double(F.col("av"), F.col("bv")) / (
+        _norm(F.col("av")) * _norm(F.col("bv"))
+    )
+    return (
+        cand.join(a, "src").join(b, "dst")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= F.lit(float(cos_threshold)))
+        .select(
+            "src", "dst", "bit_dist",
+            F.floor(F.col("cos") * 1000 + F.lit(0.5))
+            .cast("long").alias("cos_permille"),
+        )
+    )

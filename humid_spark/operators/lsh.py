@@ -137,18 +137,19 @@ def simhash_pairs(
     n_bands: int = 4,
     id_col: str = "doc_id",
     sim_col: str = "simhash",
+    sig_bits: int = 64,
 ) -> DataFrame:
-    """SimHash near-dup candidates: 64-bit fingerprints within `max_bits`
-    bit-Hamming distance.
+    """SimHash near-dup candidates: `sig_bits`-bit fingerprints within
+    `max_bits` bit-Hamming distance.
 
-    Blocking by the pigeonhole principle on bit-bands: split the 64 bits
+    Blocking by the pigeonhole principle on bit-bands: split the sig_bits
     into `n_bands` contiguous bands — two fingerprints within max_bits
     (< n_bands) must agree exactly on at least one band.  Band extraction
     is shift/mask (JVM), candidate join is an equi-join on (band, value),
     verification is bit_count(xor) <= max_bits.  The same shape as the
     MinHash band join, so the same skew/cap reasoning applies upstream.
     """
-    width = 64 // n_bands
+    width = sig_bits // n_bands
     bands = F.array(
         *[
             F.struct(

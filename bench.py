@@ -69,16 +69,22 @@ def q_substring_dups(spark: SparkSession, sf_dir: str) -> None:
 
 
 def q_webdedup(spark: SparkSession, sf_dir: str) -> None:
-    """Engine mode end-to-end: MinHash(128) -> LSH -> verify -> CC -> dedup."""
+    """Engine mode end-to-end: MinHash(128) -> LSH -> verify -> CC -> dedup.
+    Scheme pinned to kperm explicitly (NOT the config default) so this
+    headline stays comparable across rounds independent of which scheme
+    ships as the default."""
     from humid_spark.config import DedupConfig
     from humid_spark.plans.webdedup import run_web_pipeline
 
-    res = run_web_pipeline(_docs_as_pages(spark, sf_dir), DedupConfig())
+    res = run_web_pipeline(
+        _docs_as_pages(spark, sf_dir), DedupConfig(minhash_scheme="kperm")
+    )
     _force(res.annotated)
+    res.release()
 
 
 def q_webdedup_oph(spark: SparkSession, sf_dir: str) -> None:
-    """Same end-to-end chain with the opt-in OPH signature scheme (the
+    """Same end-to-end chain with the OPH signature scheme (the
     absolute-throughput path; chunked cache-resident kernel)."""
     from humid_spark.config import DedupConfig
     from humid_spark.plans.webdedup import run_web_pipeline
@@ -87,6 +93,7 @@ def q_webdedup_oph(spark: SparkSession, sf_dir: str) -> None:
         _docs_as_pages(spark, sf_dir), DedupConfig(minhash_scheme="oph")
     )
     _force(res.annotated)
+    res.release()
 
 
 def q_text_analytics(spark: SparkSession, sf_dir: str) -> None:

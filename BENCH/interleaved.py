@@ -40,19 +40,31 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
-STATE = os.path.join(HERE, "interleaved_state.json")
+STATE = os.path.join(
+    HERE, os.environ.get("INTERLEAVED_STATE", "interleaved_state_pinned.json")
+)
 
 REPS = int(os.environ.get("INTERLEAVED_REPS", "5"))
 
-# (label, scheme, data_subdir, rows, cores) — cycle order alternates
-# schemes so drift is shared.
+# Protocol v2 (pinned): every run executes under `taskset -c 0..N-1` with
+# a 12g driver heap.  Rationale, measured mid-round-4 on the unpinned v1
+# session (interleaved_state_unpinned.json): after ~21h host uptime the
+# box's MULTICORE capability collapses (oph local[8]: 20,984 p/s round 3
+# -> 11,336 unpinned now, while 1-2-core runs match round 3), and a
+# pinned 12g probe recovered +37% (15,503 p/s) DURING a concurrent
+# 1-core rep.  Pinning to exactly N cores is also the cluster-faithful
+# shape — a dedicated N-core executor (k8s cpu limit / YARN vcores) owns
+# exactly N cores, it does not float over 32 — and the symmetric rule
+# (both sides of a pair pinned the same way) adds no per-side tuning.
+# (label, scheme, data_subdir, rows, cores, max_reps) — cycle order
+# alternates schemes so drift is shared; the kperm pair runs 3 of the 5
+# cycles (secondary evidence once the default flips to oph — the gate
+# tracks the shipped default's pair).
 POINTS = [
-    ("oph 1->4",   "oph",   "pages_bench_3m", 3_000_000, 1),
-    ("kperm 2->8", "kperm", "pages_bench_1m", 1_000_000, 2),
-    ("oph 1->4",   "oph",   "pages_bench_3m", 3_000_000, 4),
-    ("kperm 2->8", "kperm", "pages_bench_1m", 1_000_000, 8),
-    ("oph 2->8",   "oph",   "pages_bench_3m", 3_000_000, 2),
-    ("oph 2->8",   "oph",   "pages_bench_3m", 3_000_000, 8),
+    ("oph 1->4",   "oph",   "pages_bench_3m", 3_000_000, 1, REPS),
+    ("kperm 2->8", "kperm", "pages_bench_1m", 1_000_000, 2, 3),
+    ("oph 1->4",   "oph",   "pages_bench_3m", 3_000_000, 4, REPS),
+    ("kperm 2->8", "kperm", "pages_bench_1m", 1_000_000, 8, 3),
 ]
 
 PAIRS = {  # label -> (low_cores, high_cores)
@@ -60,6 +72,9 @@ PAIRS = {  # label -> (low_cores, high_cores)
     "kperm 2->8": (2, 8),
     "oph 2->8": (2, 8),
 }
+
+PIN = os.environ.get("INTERLEAVED_PIN", "1") == "1"
+DRIVER_MEM = os.environ.get("INTERLEAVED_DRIVER_MEM", "12g")
 
 
 def host_hygiene() -> None:
@@ -75,9 +90,13 @@ def host_hygiene() -> None:
 
 
 def run_once(cores: int, scheme: str, data: str) -> dict:
+    cmd = [sys.executable, os.path.join(HERE, "scaling_run.py"),
+           "--cores", str(cores), "--path", data, "--scheme", scheme]
+    if PIN:
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    env = dict(os.environ, SPARK_DRIVER_MEM=DRIVER_MEM)
     out = subprocess.run(
-        [sys.executable, os.path.join(HERE, "scaling_run.py"),
-         "--cores", str(cores), "--path", data, "--scheme", scheme],
+        cmd, env=env,
         capture_output=True, text=True, timeout=7200, check=False,
     )
     for line in out.stdout.splitlines():
@@ -112,9 +131,9 @@ def session() -> None:
         print("[interleaved] warm-up (discarded)", file=sys.stderr)
         run_once(4, "oph", os.path.join(HERE, "data", "pages_bench_3m"))
     for rep in range(REPS):
-        for label, scheme, sub, rows, cores in POINTS:
+        for label, scheme, sub, rows, cores, max_reps in POINTS:
             key = (rep, label, cores)
-            if key in done:
+            if key in done or rep >= max_reps:
                 continue
             data = os.path.join(HERE, "data", sub)
             t0 = time.time()
@@ -166,8 +185,13 @@ def finalize(runs: list) -> None:
     default_pair = {"oph": "oph 1->4", "kperm": "kperm 2->8"}[default_scheme]
     summary = {
         "rows": "per-entry",
-        "protocol": "interleaved rep-by-rep, one hygiene window, "
-                    "fresh JVM per run (BENCH/interleaved.py)",
+        "protocol": (
+            "interleaved rep-by-rep, one hygiene window, fresh JVM per "
+            "run (BENCH/interleaved.py)"
+            + (f"; pinned taskset -c 0..N-1, driver heap {DRIVER_MEM} "
+               "(dedicated-executor shape; see module docstring for the "
+               "unpinned-host forensics)" if PIN else "; unpinned")
+        ),
         "schemes": schemes,
         "target": 0.8,
         "best_efficiency": max(

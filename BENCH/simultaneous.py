@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Simultaneous-pair scaling measurement (drift-robust protocol v3).
+
+The round-4 sessions exposed the limit of sequential measurement on this
+host: its per-core grant drifts -30-45% BETWEEN runs within one session
+(oph local[1]: 4,744 -> 3,265 -> 3,238 p/s over ~90 minutes, identical
+binary/config), so a ratio of two runs taken minutes apart measures the
+host's mood, not the plan.  Protocol v3 removes the time axis: the N-core
+and the 4N-core job run AT THE SAME TIME on disjoint pinned core sets
+(e.g. core 0 vs cores 8-11 of 32), so both sides see the identical host
+window — exactly the shape of a small and a large executor sharing one
+cluster node.  Efficiency = (high_pages_per_sec / low_pages_per_sec) / 4.
+
+Remaining bias, disclosed: the two jobs share the memory bus and LLC.
+For kperm (compute-bound) this is negligible; for oph (bandwidth-heavy)
+a combined 5 cores sits below this box's ~8-core oph bus saturation, so
+mutual slowdown is second-order and hits the bandwidth-hungrier high
+side HARDER — i.e. it can only UNDERSTATE efficiency, never inflate it.
+
+Appends one record per pair-rep to simultaneous_state.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+STATE = os.path.join(HERE, "simultaneous_state.json")
+DRIVER_MEM = os.environ.get("INTERLEAVED_DRIVER_MEM", "12g")
+
+# (label, scheme, data_subdir, low_cores, low_cpuset, high_cores,
+#  high_cpuset) — core sets are disjoint; the high side gets a separate
+# socket-ish span of the box.
+PAIRS = {
+    "oph 1->4 sim": ("oph", "pages_bench_3m", 1, "0", 4, "8-11"),
+    "oph6 1->4 sim": ("oph", "pages_bench_6m", 1, "0", 4, "8-11"),
+    "kperm 2->8 sim": ("kperm", "pages_bench_1m", 2, "0-1", 8, "8-15"),
+}
+
+
+def _run(cores: int, cpuset: str, scheme: str, data: str, out: dict, key: str):
+    cmd = ["taskset", "-c", cpuset, sys.executable,
+           os.path.join(HERE, "scaling_run.py"),
+           "--cores", str(cores), "--path", data, "--scheme", scheme]
+    env = dict(os.environ, SPARK_DRIVER_MEM=DRIVER_MEM)
+    res = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         timeout=7200, check=False)
+    for line in res.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            out[key] = json.loads(line)
+            return
+    out[key] = {"error": res.stdout[-1000:] + res.stderr[-1000:]}
+
+
+def run_pair(label: str) -> dict:
+    scheme, sub, lo, lo_set, hi, hi_set = PAIRS[label]
+    data = os.path.join(HERE, "data", sub)
+    out: dict = {}
+    t_lo = threading.Thread(target=_run, args=(lo, lo_set, scheme, data, out, "low"))
+    t_hi = threading.Thread(target=_run, args=(hi, hi_set, scheme, data, out, "high"))
+    t0 = time.time()
+    t_lo.start(); t_hi.start()
+    t_lo.join(); t_hi.join()
+    rec = {
+        "label": label, "scheme": scheme,
+        "low": out.get("low"), "high": out.get("high"),
+        "wall_sec": round(time.time() - t0, 1),
+        "at": time.strftime("%H:%M:%S"),
+    }
+    if ("error" not in rec["low"]) and ("error" not in rec["high"]):
+        rec["efficiency"] = round(
+            (rec["high"]["pages_per_sec"] / rec["low"]["pages_per_sec"])
+            / (hi / lo), 3,
+        )
+    runs = []
+    if os.path.exists(STATE):
+        with open(STATE) as f:
+            runs = json.load(f)
+    runs.append(rec)
+    with open(STATE, "w") as f:
+        json.dump(runs, f, indent=1)
+    print(json.dumps(rec))
+    return rec
+
+
+if __name__ == "__main__":
+    for label in sys.argv[1:] or ["oph 1->4 sim"]:
+        run_pair(label)

@@ -43,16 +43,23 @@ class DedupConfig:
     num_perm: int = 128
     minhash_scheme: str = "kperm"  # "kperm" (classic k-permutation,
                                    # compute-bound): the shipped default —
-                                   # it PASSES the north_rule's measured
-                                   # N->4N scaling-efficiency >= 0.8 gate
-                                   # (BENCH/scaling.json).  "oph"
-                                   # (one-permutation + densification) is
-                                   # the absolute-throughput opt-in: ~4x
+                                   # the scheme whose single-box scaling
+                                   # mirrors a real N->4N cluster (passed
+                                   # the 0.8 gate in rounds 1-2: 0.837 /
+                                   # 0.819; fresh round-4 numbers 0.70-0.80
+                                   # across three protocols on a decayed
+                                   # host — full record in
+                                   # BENCH/scaling.json + BASELINE.md).
+                                   # "oph" (one-permutation +
+                                   # densification) is the
+                                   # absolute-throughput opt-in: 4-8x
                                    # faster per byte, but on a single box
                                    # it saturates the memory bus by 8
                                    # cores, so the measured single-host
                                    # efficiency reflects the bandwidth
-                                   # ceiling, not the plan (BENCH/BASELINE.md).
+                                   # ceiling, not the plan; it stays
+                                   # opt-in because the flip criterion
+                                   # (measured >=0.8 at 1->4) was not met.
     lsh_bands: int = 16            # bands * rows_per_band == num_perm
     jaccard_threshold: float = 0.8
     simhash_bits: int = 64

@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "neighbour join); web: MinHash/LSH near-dup engine")
     p.add_argument("--scheme", choices=["kperm", "oph"], default=None,
                    help="MinHash scheme (web mode; default from config)")
+    p.add_argument("--containment", action="store_true",
+                   help="web mode: add the winnowing containment pass "
+                        "(substring dups LSH misses); cap demotions are "
+                        "reported in the run summary")
     p.add_argument("--alphabet", default=None,
                    help="restrict usable keys to this alphabet "
                         "(e.g. ACGT for FastQ-shaped data)")
@@ -85,6 +89,7 @@ def main(argv: list[str] | None = None) -> None:
         alphabet=args.alphabet,
         url_key_prefix=args.url_key_prefix,
         checkpoint_dir=args.checkpoint_dir,
+        use_containment=args.containment,
     )
     if args.scheme:
         cfg_kwargs["minhash_scheme"] = args.scheme
@@ -136,6 +141,15 @@ def main(argv: list[str] | None = None) -> None:
                  .agg(F.count(F.lit(1)).alias("n_groups"))
                  .write.mode("overwrite").parquet(f"{args.out_dir}/counts"))
                 out["stats"] = True
+            if cfg.write_stats:
+                # lineage: capped coverage is never silent (demoted LSH
+                # buckets; demoted winnow fingerprints when
+                # --containment).  Under -s only: each count is an
+                # aggregation pass over the band table, a real job at
+                # scale, so it runs when the user asked for stats.
+                out["demoted_buckets"] = res.demoted.count()
+                if res.demoted_fps is not None:
+                    out["demoted_fingerprints"] = res.demoted_fps.count()
             res.release()
         else:
             from humid_spark.plans.pipeline import run_pipeline, write_outputs

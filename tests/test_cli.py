@@ -96,3 +96,27 @@ def test_cli_parity_checkpoint_dir_honored(spark, tmp_path):
         d = os.path.join(ckpt, stage)
         assert os.path.isdir(d) and os.listdir(d), f"no checkpoint for {stage}"
     assert os.path.exists(os.path.join(ckpt, "_lineage.jsonl"))
+
+
+def test_cli_web_containment_flag(spark, tmp_path):
+    """--containment turns on the winnowing pass and surfaces demotion
+    lineage in the -s summary."""
+    from humid_spark.sources.pages import fx_webtext, to_spark
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    log = str(tmp_path / "run.log")
+    to_spark(spark, fx_webtext(n_seeds=10)).write.parquet(src)
+
+    env = dict(os.environ, PYTHONPATH=ROOT)
+    res = subprocess.run(
+        [sys.executable, "-m", "humid_spark", "--mode", "web",
+         "--containment", "-s", "-l", log, "--cores", "4", "-d", out, src],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    with open(log) as f:
+        summary = json.loads(f.read().strip().splitlines()[-1])
+    assert "demoted_buckets" in summary["outputs"]
+    assert "demoted_fingerprints" in summary["outputs"]

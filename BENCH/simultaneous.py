@@ -40,6 +40,11 @@ PAIRS = {
     "oph 1->4 sim": ("oph", "pages_bench_3m", 1, "0", 4, "8-11"),
     "oph6 1->4 sim": ("oph", "pages_bench_6m", 1, "0", 4, "8-11"),
     "kperm 2->8 sim": ("kperm", "pages_bench_1m", 2, "0-1", 8, "8-15"),
+    # serial-amortization point: same pair, 3x the input — the fixed
+    # per-action serial budget (~60-90s) shrinks from ~25% of the 8-core
+    # side at 1M rows to ~8% at 3M, which is the regime a real
+    # many-minute-action cluster job runs in (BENCH/BASELINE.md).
+    "kperm3 2->8 sim": ("kperm", "pages_bench_3m", 2, "0-1", 8, "8-15"),
 }
 
 
@@ -48,8 +53,15 @@ def _run(cores: int, cpuset: str, scheme: str, data: str, out: dict, key: str):
            os.path.join(HERE, "scaling_run.py"),
            "--cores", str(cores), "--path", data, "--scheme", scheme]
     env = dict(os.environ, SPARK_DRIVER_MEM=DRIVER_MEM)
-    res = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                         timeout=7200, check=False)
+    # Always set out[key], even on timeout/OSError — the other side's
+    # result must survive a one-sided failure (the pair rep is appended
+    # to the state file either way).
+    try:
+        res = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             timeout=7200, check=False)
+    except Exception as exc:  # TimeoutExpired, OSError, ...
+        out[key] = {"error": f"{type(exc).__name__}: {exc}"}
+        return
     for line in res.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
@@ -73,7 +85,8 @@ def run_pair(label: str) -> dict:
         "wall_sec": round(time.time() - t0, 1),
         "at": time.strftime("%H:%M:%S"),
     }
-    if ("error" not in rec["low"]) and ("error" not in rec["high"]):
+    if (rec["low"] and rec["high"]
+            and "error" not in rec["low"] and "error" not in rec["high"]):
         rec["efficiency"] = round(
             (rec["high"]["pages_per_sec"] / rec["low"]["pages_per_sec"])
             / (hi / lo), 3,

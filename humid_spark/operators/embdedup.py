@@ -17,14 +17,28 @@ hash-checked, not just row-counted.
 Semantics: a pair is emitted iff BOTH (a) its signatures are within
 max_bits bit-Hamming distance (the blocking predicate — part of the
 operator's definition, like the reference's max-mismatch neighbour rule,
-src/humid.cc:419-420) and (b) exact cosine >= cos_threshold.  For true
-near-dups (cos >= ~0.95) the expected bit distance is
-bits * arccos(cos)/pi ~ 1 of 16, so blocking recall is high by design
-and tunable via bits/max_bits.
+src/humid.cc:419-420) and (b) exact cosine >= cos_threshold.
+
+Default widths (VERDICT r4 item 1): bits=60, n_bands=4 -> 15-bit bands
+(2^15 distinct values per band), max_bits=11 ~ 3*bits/16 (expected
+near-dup bit distance is bits*arccos(cos)/pi: ~6 of 60 at cos 0.95).
+The round-4 default (bits=16 -> 4-bit bands, <=16 bucket values) made
+candidate generation ~n^2/8 at any real corpus size; 15-bit bands keep
+buckets ~n/32768 per band.  60 bits, not 64: bit 59 is the highest set
+bit, so the packed signature is always a NON-NEGATIVE int64 — identical
+in numpy, Spark and DuckDB with no sign/overflow caveats (1 << 63 wraps
+negative in int64, which HUGEINT SQL arithmetic would not replay).
+Blocking above n_bands-1 bits is the standard probabilistic SimHash
+scheme (see lsh.simhash_pairs); pairs at the cosine threshold have
+per-band-clean probability (1-p)^15, p = arccos(cos)/pi.  A bits=16 /
+max_bits=3 variant stays pigeonhole-exhaustive and backs the cheap
+brute-force DuckDB oracle in the driver contract; the 60-bit default is
+oracle-checked separately by replaying the BANDING itself in SQL.
 
 Scale: signatures at the scan (one vectorized int-matmul per Arrow
 batch, text/vector payload never enters the candidate shuffle), candidate
-generation is the band equi-join of lsh.simhash_pairs (never all-pairs),
+generation is the band equi-join of lsh.simhash_pairs — capped, salted,
+demotions surfaced (never all-pairs, never quadratic in a hot band) —
 the cosine verify touches candidates only and joins vectors back by id.
 """
 
@@ -56,7 +70,7 @@ def plane_weights(bits: int, dim: int, seed: int) -> np.ndarray:
     return (w - WEIGHT_MOD // 2).reshape(bits, dim)
 
 
-def embedding_simhash_udf(bits: int = 16, seed: int = 1):
+def embedding_simhash_udf(bits: int = 60, seed: int = 1):
     """Vectorized signature kernel: quantize the batch, one int64 matmul
     against the plane matrix, pack sign bits.  Exact integer arithmetic —
     no summation-order sensitivity."""
@@ -76,18 +90,22 @@ def embedding_simhash_udf(bits: int = 16, seed: int = 1):
 def embedding_near_dup_pairs(
     df: DataFrame,
     cos_threshold: float = 0.95,
-    bits: int = 16,
+    bits: int = 60,
     n_bands: int = 4,
-    max_bits: int = 3,
+    max_bits: int = 11,
     seed: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    band_cap: int = 2000,
+    track: list | None = None,
 ) -> DataFrame:
     """(src, dst, bit_dist, cos_permille) near-dup pairs over an embedding
     table.  cos_permille = floor(cos * 1000 + 0.5) keeps the checked
     surface integer (the underlying cosine is the strict left-to-right
     double sum of ann.dot_double, reproducible, but an integer column is
-    hash-robust by construction)."""
+    hash-robust by construction).  band_cap/track flow through to
+    lsh.simhash_pairs (hot-band cap + salting + optional persisted
+    membership the caller releases)."""
     sigs = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
@@ -96,6 +114,7 @@ def embedding_near_dup_pairs(
     cand = simhash_pairs(
         sigs, max_bits=max_bits, n_bands=n_bands,
         id_col="vid", sim_col="esig", sig_bits=bits,
+        band_cap=band_cap, track=track,
     )
     a = sigs.select(F.col("vid").alias("src"), F.col("v").alias("av"))
     b = sigs.select(F.col("vid").alias("dst"), F.col("v").alias("bv"))

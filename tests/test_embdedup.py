@@ -76,7 +76,8 @@ def test_blocking_is_pigeonhole_exact(spark, emb_df):
     got = {
         (r["src"], r["dst"])
         for r in embedding_near_dup_pairs(
-            emb_df, cos_threshold=-1.0  # keep every blocked pair
+            emb_df, cos_threshold=-1.0,  # keep every blocked pair
+            bits=16, n_bands=4, max_bits=3,  # the pigeonhole-exact config
         ).collect()
     }
     assert got == brute
@@ -84,7 +85,8 @@ def test_blocking_is_pigeonhole_exact(spark, emb_df):
 
 def test_planted_near_dup_recall(spark, emb_df):
     """Every planted perturbed copy (cos ~0.999) must pair with its
-    source at the default threshold; near-orthogonal strangers must not."""
+    source at the default (60-bit scale-safe) config; near-orthogonal
+    strangers must not."""
     pairs = embedding_near_dup_pairs(emb_df, cos_threshold=0.99).collect()
     got = {(r["src"], r["dst"]) for r in pairs}
     planted = {(i, 10_000 + i) for i in range(40)}
@@ -94,3 +96,51 @@ def test_planted_near_dup_recall(spark, emb_df):
         assert r["cos_permille"] >= 990
     extras = got - planted
     assert len(extras) <= 2, f"false near-dups: {sorted(extras)[:5]}"
+
+
+def test_default_bands_not_degenerate():
+    """The library default must keep >= 2^15 distinct values per band —
+    the round-4 default (16-bit sigs -> 4-bit bands, <= 16 values) made
+    candidate generation ~n^2/8 at any real corpus size (VERDICT r4)."""
+    import inspect
+
+    sig = inspect.signature(embedding_near_dup_pairs)
+    bits = sig.parameters["bits"].default
+    n_bands = sig.parameters["n_bands"].default
+    assert bits // n_bands >= 15, (bits, n_bands)
+    assert bits < 64, "bit 63 would wrap negative — must stay oracle-safe"
+
+
+def test_hot_band_capped_and_demoted(spark):
+    """A degenerate corpus (thousands of identical signatures -> one hot
+    value in EVERY band) must produce a bounded candidate set, with the
+    demotion surfaced as lineage — never a quadratic self-join
+    (VERDICT r4 item 1: planted hot-band fixture)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from humid_spark.operators.lsh import demoted_simhash_bands, simhash_pairs
+
+    n_hot, cap = 3000, 200
+    # 3000 identical fingerprints + 3 pairs of distinct near-identical ones
+    rows = [{"doc_id": i, "simhash": 0x0F0F0F0F0F0F0F0F} for i in range(n_hot)]
+    rows += [{"doc_id": 10_000 + i, "simhash": (1 << 60) + (i // 2) * 4096 + (i % 2)}
+             for i in range(6)]
+    sims = spark.createDataFrame(pd.DataFrame(rows))
+
+    tracked: list = []
+    pairs = simhash_pairs(sims, max_bits=3, n_bands=4, band_cap=cap,
+                          track=tracked).collect()
+    got = {(r["src"], r["dst"]) for r in pairs}
+    # hot members pair in NO band (every band value demoted at cap 200);
+    # the distinct near-pairs (hamming 1) survive through their clean bands
+    assert all(s >= 10_000 for s, _ in got), "hot band leaked pairs"
+    assert {(10_000 + 2 * i, 10_001 + 2 * i) for i in range(3)} <= got
+    assert len(got) <= 15  # bounded: never ~n_hot^2/2
+
+    dem = demoted_simhash_bands(sims, n_bands=4, band_cap=cap).collect()
+    assert len(dem) == 4, "all 4 hot band values must surface as lineage"
+    assert all(r["band_size"] == n_hot for r in dem)
+
+    for df in tracked:
+        df.unpersist()

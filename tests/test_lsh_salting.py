@@ -16,7 +16,9 @@ def test_salted_pairs_exact(spark):
     buckets = spark.createDataFrame(rows, "doc_id long, band int, bucket long")
 
     cfg = DedupConfig(bucket_cap=2000, lsh_salts=8)
-    got = {(r["src"], r["dst"]) for r in candidate_pairs(buckets, cfg).collect()}
+    tracked: list = []
+    got = {(r["src"], r["dst"])
+           for r in candidate_pairs(buckets, cfg, track=tracked).collect()}
     hot = {(a, b) for a in range(600) for b in range(600) if a < b}
     cold = {(1000, 1001), (1000, 1002), (1001, 1002)}
     oversized_bucket = {
@@ -27,8 +29,11 @@ def test_salted_pairs_exact(spark):
     # with a small cap the oversized bucket is demoted entirely,
     # and the 600-bucket too (600 > 500): only the cold pairs remain
     cfg2 = DedupConfig(bucket_cap=100, lsh_salts=4)
-    got2 = {(r["src"], r["dst"]) for r in candidate_pairs(buckets, cfg2).collect()}
+    got2 = {(r["src"], r["dst"])
+            for r in candidate_pairs(buckets, cfg2, track=tracked).collect()}
     assert got2 == cold | {
         p for p in oversized_bucket if False
     } | set()  # 150 > 100 -> demoted; 600 > 100 -> demoted
     assert got2 == cold
+    for df in tracked:
+        df.unpersist()

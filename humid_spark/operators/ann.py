@@ -123,6 +123,38 @@ def make_table_sketch_udf(dim: int | None = None, n_tables: int = 16,
     return sketch
 
 
+def make_int_table_sketch_udf(n_tables: int = 16, bits: int = 8,
+                              seed: int = 42):
+    """ALL-INTEGER SRP sketch — the bit-replayable variant of
+    `make_table_sketch_udf` (VERDICT r4 item 4, generalizing the
+    embdedup trick): embeddings quantize via floor(x*QUANT + 0.5),
+    hyperplane weights derive from splitmix64 over the flat plane index,
+    and each table's bucket packs the int64-exact dot-product sign bits.
+    Identical float64/int64 semantics exist in ANSI SQL, so the DuckDB
+    oracle replays the sketch — and therefore the candidate blocking —
+    bit-identically; only RECALL stays approximate (inherent to LSH).
+    Statistically the sign of q.v (v the integer plane) matches the
+    gaussian construction for LSH purposes: the quantized plane directions
+    are isotropic enough that collision probability still tracks
+    (1 - theta/pi)^bits per table."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sketch(vecs: pd.Series) -> pd.Series:
+        # lazy import: embdedup imports ann at module level, so the
+        # reverse import must not run at ann import time
+        from humid_spark.operators.embdedup import QUANT, plane_weights
+
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        qm = np.floor(mat * QUANT + 0.5).astype(np.int64)
+        w = plane_weights(n_tables * bits, qm.shape[1], seed)
+        dots = qm @ w.T                      # (n, T*bits), int64-exact
+        signs = (dots > 0).astype(np.int64).reshape(len(mat), n_tables, bits)
+        buckets = (signs << np.arange(bits, dtype=np.int64)).sum(axis=2)
+        return pd.Series(list(buckets))
+
+    return sketch
+
+
 def train_centroids(
     corpus: DataFrame,
     n_centroids: int = 64,
@@ -242,14 +274,25 @@ def hyperplane_topk(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    integer_planes: bool = False,
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: banded SRP-LSH candidate generation + exact cosine
     rerank.  Candidates = corpus rows sharing ANY table's bucket with the
     query (posexplode -> equi-join on (table, bucket)); only candidates are
     exactly scored.  High recall for genuinely-similar neighbours
     (cos >= ~0.8); on isotropic random data top-k has no LSH structure and
-    recall degrades by design — use cosine_topk there."""
-    sketch = make_table_sketch_udf(dim, n_tables, bits)
+    recall degrades by design — use cosine_topk there.
+
+    integer_planes=True swaps the gaussian sketch for the splitmix64
+    integer sketch (make_int_table_sketch_udf): same blocking shape and
+    statistics, but bit-replayable in SQL — the driver contract's
+    `ann_hyperplane_int` query hash-checks this path end to end."""
+    sketch = (
+        make_int_table_sketch_udf(n_tables, bits, seed)
+        if integer_planes
+        else make_table_sketch_udf(dim, n_tables, bits, seed)
+    )
     c = corpus.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cvec"),

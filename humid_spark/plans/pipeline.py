@@ -70,10 +70,16 @@ def run_pipeline(
         else None
     )
     keyed = with_key_columns(pages, cfg, umi_size=umi_size)
-    uniq = staged("uniq", lambda: exact.unique_keys(keyed))
-    pairs = staged("pairs", lambda: neighbour_pairs(uniq, cfg))
+    # Stage names are namespaced per pipeline mode ("parity_*" here,
+    # bare names in run_web_pipeline): the checkpoint key is
+    # hash(input_snapshot, config_hash, stage) and the engine mode is not
+    # part of DedupConfig, so a shared name like "pairs" would let
+    # --mode parity silently load --mode web's pairs table (string keys
+    # vs long doc ids) from the same --checkpoint-dir.
+    uniq = staged("parity_uniq", lambda: exact.unique_keys(keyed))
+    pairs = staged("parity_pairs", lambda: neighbour_pairs(uniq, cfg))
     clusters = staged(
-        "clusters",
+        "parity_clusters",
         lambda: cluster_keys(
             uniq, pairs, maximum=cfg.max_clustering,
             max_component_nodes=cfg.max_component_nodes,

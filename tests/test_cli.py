@@ -92,7 +92,7 @@ def test_cli_parity_checkpoint_dir_honored(spark, tmp_path):
         timeout=300,
     )
     assert res.returncode == 0, res.stderr[-2000:]
-    for stage in ("uniq", "pairs", "clusters"):
+    for stage in ("parity_uniq", "parity_pairs", "parity_clusters"):
         d = os.path.join(ckpt, stage)
         assert os.path.isdir(d) and os.listdir(d), f"no checkpoint for {stage}"
     assert os.path.exists(os.path.join(ckpt, "_lineage.jsonl"))

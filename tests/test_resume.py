@@ -68,7 +68,7 @@ def test_parity_checkpoint_resume(spark, tmp_path):
     cfg = DedupConfig(word_length=12)
     root = str(tmp_path / "parity_ckpt")
     pages = to_spark(spark, fx_webtext(n_seeds=20))
-    pstages = ("uniq", "pairs", "clusters")
+    pstages = ("parity_uniq", "parity_pairs", "parity_clusters")
 
     store = CheckpointStore(root, input_snapshot="snapP",
                             config_hash=cfg.config_hash())
@@ -90,14 +90,34 @@ def test_parity_checkpoint_resume(spark, tmp_path):
     # (mtimes untouched), only clusters recomputes; output identical.
     import shutil
 
-    shutil.rmtree(os.path.dirname(mans["clusters"]))
-    mtimes = {s: os.path.getmtime(mans[s]) for s in ("uniq", "pairs")}
+    shutil.rmtree(os.path.dirname(mans["parity_clusters"]))
+    mtimes = {s: os.path.getmtime(mans[s])
+              for s in ("parity_uniq", "parity_pairs")}
     store2 = CheckpointStore(root, input_snapshot="snapP",
                              config_hash=cfg.config_hash())
     r2 = run_pipeline(pages, cfg, store=store2)
     second = sorted((row["url"], row["cluster_id"])
                     for row in r2.annotated.collect())
     assert second == first
-    for s in ("uniq", "pairs"):
+    for s in ("parity_uniq", "parity_pairs"):
         assert os.path.getmtime(mans[s]) == mtimes[s], f"{s} was recomputed"
-    assert os.path.exists(mans["clusters"]), "clusters not re-checkpointed"
+    assert os.path.exists(mans["parity_clusters"]), \
+        "clusters not re-checkpointed"
+
+
+def test_mode_stage_names_disjoint():
+    """The two pipeline modes must never share a checkpoint stage name:
+    the snapshot key is hash(input_snapshot, config_hash, stage) and the
+    mode is not in DedupConfig, so a shared name would let one mode load
+    the other's table (string keys vs long doc ids) from the same
+    --checkpoint-dir."""
+    import inspect
+
+    from humid_spark.plans import pipeline, webdedup
+
+    web_src = inspect.getsource(webdedup.run_web_pipeline)
+    par_src = inspect.getsource(pipeline.run_pipeline)
+    web = set(__import__("re").findall(r'staged\(\s*"(\w+)"', web_src))
+    par = set(__import__("re").findall(r'staged\(\s*"(\w+)"', par_src))
+    assert web and par
+    assert not (web & par), f"shared stage names: {web & par}"

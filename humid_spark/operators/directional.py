@@ -39,6 +39,7 @@ by the >=0.99 recall budget (SURVEY.md §4.3.6).
 
 from __future__ import annotations
 
+import logging
 import os
 
 import pandas as pd
@@ -48,6 +49,8 @@ from pyspark.sql import functions as F
 from humid_spark.oracle import cluster_greedy
 from humid_spark.operators.cc import assign_components
 from humid_spark.operators.rank import with_global_rank
+
+log = logging.getLogger(__name__)
 
 _REPLAY_SCHEMA = (
     "key string, count long, first_ts timestamp, first_url string, "
@@ -270,7 +273,12 @@ def _n_replay_buckets(spark) -> int:
     BUCKET (many tiny components hashing together)."""
     env = os.environ.get("SPARK_GRAFT_REPLAY_BUCKETS")
     if env:
-        return max(1, int(env))
+        try:
+            return max(1, int(env))
+        except ValueError:
+            log.warning(
+                "ignoring malformed SPARK_GRAFT_REPLAY_BUCKETS=%r", env
+            )
     try:
         sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:

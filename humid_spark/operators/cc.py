@@ -19,6 +19,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class CheckpointHandle:
+    """Releasable handle on a localCheckpoint'ed DataFrame's storage.
+
+    `DataFrame.unpersist()` frees `cache()`-ed plans but NOT localCheckpoint
+    blocks — those belong to the materialized internal RDD behind the
+    checkpointed plan's LogicalRDD node.  This handle reaches that RDD and
+    unpersists it.  localCheckpoint TRUNCATES lineage, so after release the
+    DataFrame (and anything derived from it) can no longer be acted on:
+    callers must materialize downstream results first.  (That asymmetry is
+    why WebDedupResult.release() frees these only on opt-in.)
+    """
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        try:
+            self._df._jdf.queryExecution().analyzed().rdd().unpersist(
+                blocking
+            )
+        except Exception:  # noqa: BLE001 - best-effort storage release
+            pass
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u, connect all strictly-larger neighbours to the
     minimum of N(u) ∪ {u}."""
@@ -76,13 +100,22 @@ def _observed_checkpoint(df: DataFrame):
 
 
 def connected_components(
-    edges: DataFrame, max_rounds: int = 50
+    edges: DataFrame, max_rounds: int = 50, track: list | None = None
 ) -> DataFrame:
     """edges: (src, dst) — undirected, any orientation, self-loops ignored.
 
     Returns (node, component) for every node appearing in `edges`, where
     component = min node id of its component.  Isolated nodes don't appear
     (callers left-join and default component := own id).
+
+    Storage discipline: each round's eager localCheckpoint SUPERSEDES the
+    previous round's — the old blocks are unpersisted as soon as the new
+    round is materialized, so a k-round run holds at most two rounds'
+    edge sets, not k (at web scale a round's edge set is the largest
+    resident structure after the signature table).  The FINAL round's
+    blocks back the returned DataFrame and must outlive it; with `track`,
+    a `CheckpointHandle` for them is appended for the caller to release
+    once downstream results are materialized.
     """
     cur = (
         edges.select("src", "dst")
@@ -101,10 +134,15 @@ def connected_components(
     # chains 16.1s->17.6s), within run variance and worth the safety.)
     prev_fp: tuple[int, int] | None = None
     for _ in range(max_rounds):
-        cur, fp = _observed_checkpoint(_small_star(_large_star(cur)))
+        nxt, fp = _observed_checkpoint(_small_star(_large_star(cur)))
+        CheckpointHandle(cur).unpersist()  # superseded — nxt is materialized
+        cur = nxt
         if fp == prev_fp:
             break
         prev_fp = fp
+
+    if track is not None:
+        track.append(CheckpointHandle(cur))
 
     # Converged: edges are (member -> root) stars. Roots map to themselves.
     members = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))

@@ -49,16 +49,79 @@ class WebDedupResult:
                                           # (lineage; None unless
                                           # cfg.use_containment)
     persisted: list = None  # persisted intermediates (see release())
+    checkpointed: list = None  # CheckpointHandles (CC's final round)
 
-    def release(self) -> None:
+    def release(self, checkpoints: bool = False) -> None:
         """Unpersist the pipeline's cached intermediates (the pruned LSH
         bucket membership and the unique-signature table).  Safe at any
         point — the cached plans keep their lineage, so a later action on
         any result DataFrame recomputes instead of failing.  Call once the
         results are materialized (written / collected) so long-lived
-        sessions running many pipelines don't accumulate executor storage."""
+        sessions running many pipelines don't accumulate executor storage.
+
+        checkpoints=True additionally frees the connected-components
+        final-round localCheckpoint blocks (the one storage a default
+        release leaves behind).  Lineage there is TRUNCATED by design, so
+        after a checkpoint release the cluster-bearing DataFrames
+        (clusters / annotated / dedup) can no longer be acted on — only
+        opt in once every output is written or collected."""
         for df in self.persisted or ():
             df.unpersist()
+        if checkpoints:
+            for h in self.checkpointed or ():
+                h.unpersist()
+
+    def funnel(self) -> DataFrame:
+        """The dedup tier funnel as one (metric, value) DataFrame:
+
+          total_usable -> exact_removed (full-text dups collapsed, A1)
+                       -> near_removed  (LSH-verified clusters merged)
+                       -> kept          (one representative per cluster)
+
+        Counts come from the already-built stage DataFrames (uniq is
+        persisted, so the only new work is small aggregations); the
+        contract query `web_dedup_funnel` hash-checks the same chain
+        against a full SQL replay.  All six values are longs."""
+        # the three single-row aggregates combine JOIN-FREE: each unpivots
+        # to (m, v) rows, the union re-aggregates to one row.  (A crossJoin
+        # — or an equi-join on a literal key, which Catalyst constant-folds
+        # back into one — plans as BroadcastNestedLoopJoin and would breach
+        # the repo-wide "no CartesianProduct anywhere" hygiene assertion.)
+        stats = self.uniq.agg(
+            F.sum("count").cast("long").alias("total_usable"),
+            F.count(F.lit(1)).alias("exact_unique"),
+        ).selectExpr(
+            "stack(2, 'total_usable', total_usable, "
+            "'exact_unique', exact_unique) AS (m, v)"
+        )
+        ecnt = self.pairs.agg(
+            F.count(F.lit(1)).alias("near_edges")
+        ).selectExpr("stack(1, 'near_edges', near_edges) AS (m, v)")
+        ccs = self.clusters.select(
+            F.col("rep_doc_id").alias("doc_id"), "cluster_id"
+        ).distinct().agg(
+            F.count(F.lit(1)).alias("cc_nodes"),
+            F.countDistinct("cluster_id").alias("cc_comps"),
+        ).selectExpr(
+            "stack(2, 'cc_nodes', cc_nodes, 'cc_comps', cc_comps) AS (m, v)"
+        )
+        one = stats.unionByName(ecnt).unionByName(ccs).agg(
+            *[
+                F.max(F.when(F.col("m") == m, F.col("v"))).alias(m)
+                for m in ("total_usable", "exact_unique", "near_edges",
+                          "cc_nodes", "cc_comps")
+            ]
+        )
+        return one.selectExpr(
+            "stack(6, "
+            "'total_usable', total_usable, "
+            "'exact_unique', exact_unique, "
+            "'exact_removed', total_usable - exact_unique, "
+            "'near_edges', near_edges, "
+            "'near_removed', cc_nodes - cc_comps, "
+            "'kept', cc_comps"
+            ") AS (metric, value)"
+        )
 
 
 def run_web_pipeline(
@@ -171,7 +234,18 @@ def run_web_pipeline(
         return edges
 
     # Components over unique-text representatives...
-    comp = staged("components", lambda: connected_components(_edge_set()))
+    cc_checkpoints: list = []
+    comp = staged(
+        "components",
+        lambda: connected_components(_edge_set(), track=cc_checkpoints),
+    )
+    if store is not None and cc_checkpoints:
+        # with a CheckpointStore the components stage is materialized to
+        # parquet (and re-read from it), so CC's final-round blocks are
+        # already consumed — free them now instead of handing them out
+        for h in cc_checkpoints:
+            h.unpersist()
+        cc_checkpoints = []
     rep_cluster = (
         sigs.select("doc_id")
         .join(comp, sigs["doc_id"] == comp["node"], "left")
@@ -217,4 +291,5 @@ def run_web_pipeline(
         docs=docs, uniq=uniq, sigs=sigs, pairs=pairs, clusters=clusters,
         annotated=annotated, dedup=dedup, demoted=demoted,
         demoted_fps=demoted_fps, persisted=persisted,
+        checkpointed=cc_checkpoints,
     )

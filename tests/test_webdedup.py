@@ -146,6 +146,63 @@ def test_release_unpersists_and_results_survive(spark):
     assert result.annotated.count() == n
 
 
+def test_release_leaves_no_executor_storage(spark):
+    """VERDICT r4 item 5 done-criterion: after a pipeline round-trip plus
+    a full release, NO persisted blocks introduced by the run remain in
+    executor storage (storage-level flags alone don't prove the blocks
+    are gone — this asserts against the SparkContext's storage info).
+    Covers BOTH storage kinds: the persist()-ed intermediates and the
+    CC localCheckpoints (superseded rounds are freed inside the CC loop;
+    the final round via the release(checkpoints=True) opt-in, legal here
+    because annotated is already materialized)."""
+    import time
+
+    def stored_ids():
+        return {
+            info.id()
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    before = stored_ids()
+    res = run_web_pipeline(to_spark(spark, fx.fx_webtext(n_seeds=15)), CFG)
+    res.annotated.count()
+    assert stored_ids() - before, "pipeline should persist intermediates"
+    assert res.checkpointed, "pipeline should hand out the CC handle"
+    res.release(checkpoints=True)
+    for _ in range(50):  # unpersist is async; poll briefly
+        leaked = stored_ids() - before
+        if not leaked:
+            break
+        time.sleep(0.2)
+    assert not leaked, f"persisted blocks leaked past release(): {leaked}"
+
+
+def test_funnel_counts_consistent(spark):
+    """WebDedupResult.funnel(): the six tier counts must agree with
+    independently-derived counts from the result's own stage tables and
+    with each other (total = exact_removed + near_removed + kept)."""
+    pages = to_spark(spark, fx.fx_webtext(n_seeds=20))
+    res = run_web_pipeline(pages, CFG)
+    f = {r["metric"]: r["value"] for r in res.funnel().collect()}
+
+    total = res.docs.filter("usable").count()
+    uniq = res.uniq.count()
+    clusters = (
+        res.clusters.select("rep_doc_id", "cluster_id").distinct()
+        .select("cluster_id").distinct().count()
+    )
+    assert f["total_usable"] == total
+    assert f["exact_unique"] == uniq
+    assert f["exact_removed"] == total - uniq
+    assert f["near_edges"] == res.pairs.count()
+    assert f["near_removed"] == uniq - clusters
+    assert f["kept"] == clusters
+    assert f["near_removed"] > 0, "fixture must exercise the near tier"
+    assert (f["total_usable"]
+            == f["exact_removed"] + f["near_removed"] + f["kept"])
+    res.release()
+
+
 def test_containment_demotions_surfaced(spark):
     """VERDICT r3 item 7: winnow-fingerprint cap demotions join the lineage
     surface when the containment pass is on."""

@@ -32,6 +32,10 @@ N12 = 12 # shorter key: real Hamming-1 edges exist in the driver's documents
 P31 = (1 << 31) - 1
 MH_K = 5       # shingle size for the SQL-parity signature queries
 MH_PERMS = 8   # perms for the SQL-parity signature queries (engine uses 128)
+FUNNEL_THRESH = 500  # Jaccard permille gate for web_dedup_funnel's
+                     # near tier (the sf corpus is bimodal: real
+                     # near-dup families sit at >= 900 permille, the
+                     # band-join noise floor at <= ~200)
 MH_BAND_R = 4  # rows per band (2 bands): r=2 was near-all-pairs on the
                # shared-vocabulary word-soup docs (3.1M candidates at sf0.1,
                # J^2 collision prob); r=4 keeps the banding selective so the
@@ -456,6 +460,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_jaccard_pairs"] = jaccard
 
+    # --- END-TO-END web-dedup funnel, fully oracle-checked (round 5).
+    #     The web pipeline's stages are each oracle-green individually
+    #     (exact collapse, signatures, band join, Jaccard verify); this
+    #     query chains them THROUGH the engine's connected-components
+    #     operator and reports the tier funnel a training-data pipeline
+    #     reads off a dedup run:
+    #       total_usable -> exact_removed -> near_removed -> kept.
+    #     The corpus has no full-text dups, so exact dups are PLANTED
+    #     (doc_id % 10 == 0 re-enters as -doc_id - 1 — disjoint from the
+    #     non-negative ids at any scale factor, the embedding_near_dups
+    #     convention).  The DuckDB oracle replays the whole chain —
+    #     grouping, md5-parity signatures, banding, Jaccard >= 0.5,
+    #     recursive-CTE components — so CC-over-DOCUMENT-PAIRS is
+    #     hash-checked end to end (previously only CC-over-parity-keys
+    #     was).  Counts, not labels: immune to component-naming
+    #     conventions, sensitive to any wrong merge. ---
+    def web_funnel(s, d):
+        from humid_spark.functions.signatures import sql_parity_sig_table
+        from humid_spark.operators.cc import connected_components
+
+        docs = _t(s, d, "documents").select("doc_id", "text")
+        usable = docs.filter(
+            F.col("text").isNotNull() & (F.length("text") >= MH_K)
+        )
+        planted = usable.filter(F.col("doc_id") % 10 == 0).select(
+            (-F.col("doc_id") - 1).alias("doc_id"), "text"
+        )
+        corpus = usable.unionByName(planted)
+        grp = corpus.groupBy("text").agg(
+            F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("cnt")
+        )
+        # one materialization feeds both band self-joins, the verify and
+        # (via connected_components' own eager checkpoint) the CC rounds
+        tbl = sql_parity_sig_table(
+            grp.select("doc_id", "text"), MH_K, MH_PERMS
+        ).localCheckpoint(eager=True)
+        pairs = _band_join_spark(s, d, sigs=tbl.drop("sh"))
+        sh = tbl.select("doc_id", "sh")
+        ver = (
+            pairs
+            .join(sh.select(F.col("doc_id").alias("src"),
+                            F.col("sh").alias("sh_a")), "src")
+            .join(sh.select(F.col("doc_id").alias("dst"),
+                            F.col("sh").alias("sh_b")), "dst")
+            .filter(
+                F.floor(F.size(F.array_intersect("sh_a", "sh_b")) * 1000
+                        / F.size(F.array_union("sh_a", "sh_b")))
+                >= FUNNEL_THRESH
+            )
+            .select("src", "dst")
+        )
+        comp = connected_components(ver)
+        # the three single-row aggregates combine JOIN-FREE (unpivot to
+        # (m, v), union, re-aggregate): a crossJoin — or a literal-key
+        # equi-join, which Catalyst constant-folds back into one — plans
+        # as BroadcastNestedLoopJoin and would breach the repo-wide
+        # "no CartesianProduct anywhere" hygiene assertion
+        stats = grp.agg(
+            F.sum("cnt").cast("long").alias("total_usable"),
+            F.count(F.lit(1)).alias("exact_unique"),
+        ).selectExpr(
+            "stack(2, 'total_usable', total_usable, "
+            "'exact_unique', exact_unique) AS (m, v)"
+        )
+        ecnt = ver.agg(
+            F.count(F.lit(1)).alias("near_edges")
+        ).selectExpr("stack(1, 'near_edges', near_edges) AS (m, v)")
+        ccs = comp.agg(
+            F.count(F.lit(1)).alias("cc_nodes"),
+            F.countDistinct("component").alias("cc_comps"),
+        ).selectExpr(
+            "stack(2, 'cc_nodes', cc_nodes, 'cc_comps', cc_comps) AS (m, v)"
+        )
+        row = stats.unionByName(ecnt).unionByName(ccs).agg(
+            *[
+                F.max(F.when(F.col("m") == m_, F.col("v"))).alias(m_)
+                for m_ in ("total_usable", "exact_unique", "near_edges",
+                           "cc_nodes", "cc_comps")
+            ]
+        )
+        return row.selectExpr(
+            "stack(6, "
+            "'total_usable', total_usable, "
+            "'exact_unique', exact_unique, "
+            "'exact_removed', total_usable - exact_unique, "
+            "'near_edges', near_edges, "
+            "'near_removed', cc_nodes - cc_comps, "
+            "'kept', exact_unique - (cc_nodes - cc_comps)"
+            ") AS (metric, value)"
+        )
+
+    q["web_dedup_funnel"] = web_funnel
+
     # --- text analytics ---
     def text_stats(s, d):
         from humid_spark.functions import textstats as ts
@@ -621,6 +718,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_hyperplane_topk"] = ann_lsh
 
+    # --- SRP-LSH with INTEGER planes (VERDICT r4 item 4): same blocking
+    #     machinery, but the sketch is splitmix64-derived int64 math, so
+    #     the DuckDB oracle replays sketch -> (table, bucket) equi-join ->
+    #     exact rerank bit-identically.  The gaussian variant above stays
+    #     rows-only (float planes aren't SQL-replayable); with this query
+    #     the MACHINERY is hash-checked and only recall — inherent to any
+    #     LSH — remains approximate. ---
+    def ann_lsh_int(s, d):
+        from humid_spark.operators.ann import hyperplane_topk
+
+        emb = _t(s, d, "embeddings")
+        return hyperplane_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
+                               integer_planes=True)
+
+    q["ann_hyperplane_int"] = ann_lsh_int
+
     # --- similarity search: IVF (spherical-kmeans inverted lists; the
     #     clustered-data scale path; approximate -> rows-only check,
     #     recall + full-probe-exactness pinned in tests/test_ann.py) ---
@@ -649,16 +762,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- embedding-cosine near-dup dedup: ALL-INTEGER hyperplane SimHash
     #     (quantized embeddings x splitmix64-derived integer planes) ->
-    #     band-blocked hamming<=3 -> exact cosine verify.  The sf corpus
-    #     is near-orthogonal (max cos ~0.51), so the query PLANTS
+    #     band-blocked hamming filter -> exact cosine verify.  The sf
+    #     corpus is near-orthogonal (max cos ~0.51), so the queries PLANT
     #     deterministic near-dups inline — vec_id < 100 re-enters with
-    #     dims d % 7 == 0 scaled by 1.08 (cos ~0.9995) — with the oracle
+    #     dims d % 7 == 0 scaled by 1.08 (cos ~0.9995) and the NEGATED id
+    #     -vec_id - 1, which is disjoint from the non-negative corpus ids
+    #     at ANY scale factor (ADVICE r4: a fixed +1000000 offset collides
+    #     once the corpus holds >= 1M embeddings) — with the oracle
     #     replaying the identical construction; the pair set is then
     #     hash-checked end to end (operators/embdedup.py docstring has the
-    #     integer-reproducibility argument). ---
-    def emb_near_dups(s, d):
-        from humid_spark.operators.embdedup import embedding_near_dup_pairs
-
+    #     integer-reproducibility argument).
+    #     Two variants: the 16-bit/4-band/hamming<=3 config is
+    #     pigeonhole-EXHAUSTIVE, so its oracle is cheap brute-force
+    #     hamming; the library-DEFAULT config (60-bit/15-bit bands,
+    #     the scale-safe widths) is probabilistic, so its oracle replays
+    #     the BANDING itself — both hash-checked. ---
+    def _emb_planted(s, d):
         emb = _t(s, d, "embeddings")
         base = emb.select(
             "vec_id",
@@ -666,18 +785,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         lambda x: x.cast("double")).alias("embedding"),
         )
         pert = emb.filter(F.col("vec_id") < 100).select(
-            (F.col("vec_id") + 1000000).alias("vec_id"),
+            (-F.col("vec_id") - 1).alias("vec_id"),
             F.transform(
                 F.col("embedding"),
                 lambda x, i: x.cast("double")
                 * F.when(i % 7 == 0, F.lit(1.08)).otherwise(F.lit(1.0)),
             ).alias("embedding"),
         )
+        return base.unionByName(pert)
+
+    def emb_near_dups(s, d):
+        from humid_spark.operators.embdedup import embedding_near_dup_pairs
+
         return embedding_near_dup_pairs(
-            base.unionByName(pert), cos_threshold=0.99,
+            _emb_planted(s, d), cos_threshold=0.99,
+            bits=16, n_bands=4, max_bits=3,
         ).withColumn("bit_dist", F.col("bit_dist").cast("long"))
 
     q["embedding_near_dups"] = emb_near_dups
+
+    def emb_near_dups_wide(s, d):
+        from humid_spark.operators.embdedup import embedding_near_dup_pairs
+
+        # library defaults: bits=60, n_bands=4 (15-bit bands), max_bits=11
+        return embedding_near_dup_pairs(
+            _emb_planted(s, d), cos_threshold=0.99,
+        ).withColumn("bit_dist", F.col("bit_dist").cast("long"))
+
+    q["embedding_near_dups_wide"] = emb_near_dups_wide
 
     # --- containment/substring dups: winnowing fingerprints (batched
     #     numpy UDF; oracle-checked — the full winnowing pass is
@@ -798,6 +933,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return binary_exact_dups(docs, blob_col="blob")
 
     q["binary_exact_dups"] = binary_dups
+
+    # --- multimodal: REAL image decode (VERDICT r4 item 6).  The driver
+    #     tables carry no image column, so the query PLANTS deterministic
+    #     P6 PPM blobs (dims and every pixel byte a pure function of
+    #     doc_id) and pushes them through the engine's stdlib decoder
+    #     (multimodal.decode_ppm via image_stats — real header parse +
+    #     raster read, decoded=True).  The oracle never builds a blob: it
+    #     computes the SAME dims and exact integer channel sums straight
+    #     from the planting formula, so a decoder that misreads header,
+    #     stride or channel order hash-mismatches. ---
+    def image_decode_stats(s, d):
+        import pandas as _pd
+
+        from humid_spark.functions.multimodal import image_stats
+
+        ids = _t(s, d, "documents").select("doc_id").filter(
+            F.col("doc_id") < 200
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                urls, blobs = [], []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    w, h = 4 + did % 5, 3 + did % 3
+                    px = bytes(
+                        (did * 31 + y * 7 + x * 3 + c * 11) % 256
+                        for y in range(h) for x in range(w) for c in range(3)
+                    )
+                    urls.append(str(did))
+                    blobs.append(b"P6\n%d %d\n255\n" % (w, h) + px)
+                yield _pd.DataFrame({"url": urls, "blob": blobs})
+
+        planted = ids.mapInPandas(
+            gen, "url string, blob binary"
+        )
+        return image_stats(planted, blob_col="blob")
+
+    q["image_decode_stats"] = image_decode_stats
 
     # --- streaming dedup, batch-mode analog: the Structured-Streaming
     #     operator (dropDuplicatesWithinWatermark, streaming/dedup.py)
@@ -944,6 +1118,88 @@ def oracle_sql() -> dict[str, str]:
         FROM p JOIN sh a ON p.src = a.doc_id JOIN sh b ON p.dst = b.doc_id
     """
 
+    # --- web_dedup_funnel: the full dedup chain replayed in SQL —
+    #     planted exact dups -> text grouping -> md5-parity signatures ->
+    #     band join -> Jaccard >= FUNNEL_THRESH -> recursive-CTE
+    #     connected components -> tier counts.  Hash-matching this checks
+    #     the engine's CC over document pairs end to end (counts are
+    #     labeling-convention-free but break on any wrong merge/split). ---
+    from humid_spark.functions.signatures import P31 as _P31
+    from humid_spark.functions.signatures import _sql_perm_coeffs
+
+    _fsh = (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(1, length(text) - {MH_K - 1})), "
+        f"i -> cast(('0x' || substr(md5(substring(text, i, {MH_K})), 1, 14))"
+        f" as bigint) % {_P31}))"
+    )
+    _fmins = ", ".join(
+        f"list_min(list_transform(sh, h -> ((h * {a}) % {_P31} + {b})"
+        f" % {_P31})) AS h{j}"
+        for j, (a, b) in enumerate(_sql_perm_coeffs(MH_PERMS))
+    )
+    _fbands = " OR ".join(
+        "(" + " AND ".join(
+            f"a.h{MH_BAND_R * b + i} = b.h{MH_BAND_R * b + i}"
+            for i in range(MH_BAND_R)
+        ) + ")"
+        for b in range(MH_PERMS // MH_BAND_R)
+    )
+    o["web_dedup_funnel"] = f"""
+        WITH RECURSIVE
+        corpus AS (
+          SELECT doc_id, text FROM documents
+          WHERE text IS NOT NULL AND length(text) >= {MH_K}
+          UNION ALL
+          SELECT -doc_id - 1, text FROM documents
+          WHERE doc_id % 10 = 0 AND text IS NOT NULL
+            AND length(text) >= {MH_K}
+        ),
+        grp AS (SELECT min(doc_id) AS doc_id, any_value(text) AS text,
+                       count(*) AS cnt
+                FROM corpus GROUP BY text),
+        shg AS (SELECT doc_id, {_fsh} AS sh FROM grp),
+        sigs AS (SELECT doc_id, {_fmins} FROM shg),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({_fbands})
+        ),
+        ver AS (
+          SELECT c.src, c.dst
+          FROM cand c JOIN shg x ON c.src = x.doc_id
+                      JOIN shg y ON c.dst = y.doc_id
+          WHERE (1000 * len(list_intersect(x.sh, y.sh)))
+                // len(list_distinct(list_concat(x.sh, y.sh)))
+                >= {FUNNEL_THRESH}
+        ),
+        edges AS (SELECT src, dst FROM ver
+                  UNION ALL SELECT dst, src FROM ver),
+        nodes AS (SELECT DISTINCT src AS n FROM edges),
+        reach(n, comp) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.src, r.comp FROM reach r JOIN edges e ON e.dst = r.n
+        ),
+        cc AS (SELECT n, min(comp) AS comp FROM reach GROUP BY n),
+        agg AS (
+          SELECT (SELECT CAST(sum(cnt) AS BIGINT) FROM grp) AS total_usable,
+                 (SELECT count(*) FROM grp) AS exact_unique,
+                 (SELECT count(*) FROM ver) AS near_edges,
+                 (SELECT count(*) FROM cc) AS cc_nodes,
+                 (SELECT count(DISTINCT comp) FROM cc) AS cc_comps
+        )
+        SELECT metric, CAST(value AS BIGINT) AS value FROM (
+          SELECT 'total_usable' AS metric, total_usable AS value FROM agg
+          UNION ALL SELECT 'exact_unique', exact_unique FROM agg
+          UNION ALL SELECT 'exact_removed', total_usable - exact_unique
+            FROM agg
+          UNION ALL SELECT 'near_edges', near_edges FROM agg
+          UNION ALL SELECT 'near_removed', cc_nodes - cc_comps FROM agg
+          UNION ALL SELECT 'kept', exact_unique - (cc_nodes - cc_comps)
+            FROM agg
+        )
+    """
+
     from humid_spark.functions import textstats as ts
 
     o["text_stats"] = (
@@ -1046,6 +1302,70 @@ def oracle_sql() -> dict[str, str]:
     # hash-matching the cell-assign/equi-join/rerank machinery end to end.
     o["ann_ivf_full_probe"] = o["ann_cosine_topk"]
 
+    # --- ann_hyperplane_int: the INTEGER SRP sketch is exact int64 math
+    #     (quantize -> int plane dots -> packed sign-bit buckets), so the
+    #     sketch AND the (table, bucket) candidate equi-join replay
+    #     bit-identically in DuckDB; the rerank reuses the strict
+    #     left-to-right double scoring the exact ANN oracle already
+    #     hash-matches.  Dim fixed at 64 (the driver embeddings table);
+    #     defaults n_tables=16, bits=8, seed=42. ---
+    from humid_spark.functions.signatures import mix64_duckdb as _mx
+    from humid_spark.operators.embdedup import QUANT as _Q
+    from humid_spark.operators.embdedup import WEIGHT_MOD as _WM
+
+    _srp_mix = _mx("(42 * 4294967296::HUGEINT + i)")
+    o["ann_hyperplane_int"] = f"""
+        WITH ve AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        qt AS (
+          SELECT vec_id,
+            list_transform(v, x -> CAST(floor(x * {_Q}.0 + 0.5) AS BIGINT)) AS qv
+          FROM ve
+        ),
+        planes AS (
+          SELECT i // 64 AS p, i % 64 AS d,
+            CAST(({_srp_mix}) % {_WM} AS BIGINT) - {_WM // 2} AS w
+          FROM (SELECT unnest(generate_series(0, {16 * 8 * 64 - 1})) AS i)
+        ),
+        dots AS (
+          SELECT qt.vec_id, planes.p, sum(qt.qv[planes.d + 1] * planes.w) AS dot
+          FROM qt, planes GROUP BY 1, 2
+        ),
+        sk AS (
+          SELECT vec_id, p // 8 AS tbl,
+            CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % 8)) ELSE 0 END)
+                 AS BIGINT) AS bucket
+          FROM dots GROUP BY 1, 2
+        ),
+        cand AS (
+          SELECT DISTINCT skq.vec_id AS qid, skc.vec_id AS cid
+          FROM sk skc JOIN sk skq
+            ON skc.tbl = skq.tbl AND skc.bucket = skq.bucket
+          WHERE skq.vec_id < 5 AND skc.vec_id <> skq.vec_id
+        ),
+        scored AS (
+          SELECT c.qid, c.cid,
+            list_sum(list_transform(generate_series(1, len(x.v)),
+              i -> x.v[i] * y.v[i]))
+            / (sqrt(list_sum(list_transform(generate_series(1, len(x.v)),
+                 i -> x.v[i] * x.v[i])))
+               * sqrt(list_sum(list_transform(generate_series(1, len(y.v)),
+                 i -> y.v[i] * y.v[i])))) AS score
+          FROM cand c
+          JOIN ve x ON x.vec_id = c.qid
+          JOIN ve y ON y.vec_id = c.cid
+        ),
+        r AS (
+          SELECT qid, cid,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, cid) AS rank
+          FROM scored
+        )
+        SELECT qid, cid, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+    """
+
     # --- embedding_near_dups: the integer hyperplane SimHash is exact
     #     int64 math (quantize -> int plane dot -> sign bits), so DuckDB
     #     replays it bit-identically: planes from mix64 over the flat
@@ -1058,14 +1378,18 @@ def oracle_sql() -> dict[str, str]:
     from humid_spark.functions.signatures import mix64_duckdb
     from humid_spark.operators.embdedup import QUANT, WEIGHT_MOD
 
-    _ebits, _edim, _eseed = 16, 64, 1
+    _edim, _eseed = 64, 1
     _emix = mix64_duckdb(f"({_eseed} * 4294967296::HUGEINT + i)")
-    o["embedding_near_dups"] = f"""
-        WITH ve AS (
+
+    def _emb_sig_ctes(bits: int) -> str:
+        """Shared CTEs: planted corpus (negated ids — collision-free at any
+        scale, ADVICE r4), quantization, integer planes, signatures."""
+        return f"""
+        ve AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings
           UNION ALL
-          SELECT vec_id + 1000000,
+          SELECT -vec_id - 1,
             list_transform(generate_series(1, len(embedding)), i ->
               CAST(embedding[i] AS DOUBLE) *
               (CASE WHEN (i - 1) % 7 = 0 THEN 1.08 ELSE 1.0 END))
@@ -1079,7 +1403,7 @@ def oracle_sql() -> dict[str, str]:
         planes AS (
           SELECT i // {_edim} AS p, i % {_edim} AS d,
             CAST(({_emix}) % {WEIGHT_MOD} AS BIGINT) - {WEIGHT_MOD // 2} AS w
-          FROM (SELECT unnest(generate_series(0, {_ebits * _edim - 1})) AS i)
+          FROM (SELECT unnest(generate_series(0, {bits * _edim - 1})) AS i)
         ),
         dots AS (
           SELECT q.vec_id, planes.p, sum(q.qv[planes.d + 1] * planes.w) AS dot
@@ -1090,14 +1414,9 @@ def oracle_sql() -> dict[str, str]:
             CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
                  AS BIGINT) AS esig
           FROM dots GROUP BY 1
-        ),
-        cand AS (
-          SELECT a.vec_id AS src, b.vec_id AS dst,
-                 CAST(bit_count(xor(a.esig, b.esig)) AS BIGINT) AS bit_dist
-          FROM sigs a, sigs b
-          WHERE a.vec_id < b.vec_id
-            AND bit_count(xor(a.esig, b.esig)) <= 3
-        ),
+        )"""
+
+    _emb_verify_sql = """
         ver AS (
           SELECT c.src, c.dst, c.bit_dist,
             list_sum(list_transform(generate_series(1, len(x.v)),
@@ -1114,6 +1433,50 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor(dot / (xn * yn) * 1000 + 0.5) AS BIGINT)
                  AS cos_permille
         FROM ver WHERE dot / (xn * yn) >= 0.99
+    """
+
+    # 16-bit variant: hamming<=3 over 4 bands is pigeonhole-exhaustive, so
+    # brute-force hamming IS the band-blocked set — the cheap oracle.
+    o["embedding_near_dups"] = f"""
+        WITH {_emb_sig_ctes(16)},
+        cand AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 CAST(bit_count(xor(a.esig, b.esig)) AS BIGINT) AS bit_dist
+          FROM sigs a, sigs b
+          WHERE a.vec_id < b.vec_id
+            AND bit_count(xor(a.esig, b.esig)) <= 3
+        ),
+        {_emb_verify_sql}
+    """
+
+    # Library-default widths (60-bit sig, 4 bands of 15 bits, hamming<=11):
+    # max_bits >= n_bands, so blocking is probabilistic and brute-force
+    # hamming would OVER-approximate the engine's pair set.  The oracle
+    # instead replays the BANDING itself — band value extraction is plain
+    # integer shift/mask (the 60-bit signature is non-negative, so
+    # arithmetic and unsigned shifts agree between Spark and DuckDB) —
+    # hash-checking the exact candidate machinery the library default runs.
+    o["embedding_near_dups_wide"] = f"""
+        WITH {_emb_sig_ctes(60)},
+        bands AS (
+          SELECT s.vec_id, s.esig, b.b AS band,
+                 (s.esig >> (b.b * 15)) & 32767 AS val
+          FROM sigs s, (SELECT unnest([0, 1, 2, 3]) AS b) b
+        ),
+        cand0 AS (
+          SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
+        ),
+        cand AS (
+          SELECT c.src, c.dst,
+                 CAST(bit_count(xor(sa.esig, sb.esig)) AS BIGINT) AS bit_dist
+          FROM cand0 c
+          JOIN sigs sa ON sa.vec_id = c.src
+          JOIN sigs sb ON sb.vec_id = c.dst
+          WHERE bit_count(xor(sa.esig, sb.esig)) <= 11
+        ),
+        {_emb_verify_sql}
     """
 
     # --- containment_pairs: winnowing IS deterministic integer math, so
@@ -1254,6 +1617,36 @@ def oracle_sql() -> dict[str, str]:
         "min('doc://' || CAST(doc_id AS VARCHAR)) AS keep_url "
         "FROM documents WHERE text IS NOT NULL GROUP BY 1"
     )
+
+    # Channel sums computed from the planting formula, never from bytes:
+    # sum over (x, y) of (doc_id*31 + y*7 + x*3 + c*11) % 256 per channel.
+    o["image_decode_stats"] = """
+        WITH ids AS (
+          SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
+          FROM documents WHERE doc_id < 200
+        ),
+        px AS (
+          SELECT i.doc_id, i.w, i.h, y.y, x.x
+          FROM ids i,
+               unnest(generate_series(0, i.h - 1)) AS y(y),
+               unnest(generate_series(0, i.w - 1)) AS x(x)
+        ),
+        sums AS (
+          SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+            sum((doc_id * 31 + y * 7 + x * 3) % 256) AS r_sum,
+            sum((doc_id * 31 + y * 7 + x * 3 + 11) % 256) AS g_sum,
+            sum((doc_id * 31 + y * 7 + x * 3 + 22) % 256) AS b_sum
+          FROM px GROUP BY doc_id
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS url,
+               CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+               'PPM' AS format, TRUE AS decoded,
+               CAST(3 AS INTEGER) AS channels,
+               CAST(r_sum AS BIGINT) AS r_sum,
+               CAST(g_sum AS BIGINT) AS g_sum,
+               CAST(b_sum AS BIGINT) AS b_sum
+        FROM sums
+    """
 
     o["events_dedup_windowed"] = """
         WITH x AS (

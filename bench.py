@@ -96,6 +96,21 @@ def q_webdedup_oph(spark: SparkSession, sf_dir: str) -> None:
     res.release()
 
 
+def q_webdedup_containment(spark: SparkSession, sf_dir: str) -> None:
+    """End-to-end web dedup WITH the winnowing containment pass on top of
+    LSH (VERDICT r4 item 7: the containment stage is a major cost center
+    at 100 TB and needs a tracked perf number, not just correctness)."""
+    from humid_spark.config import DedupConfig
+    from humid_spark.plans.webdedup import run_web_pipeline
+
+    res = run_web_pipeline(
+        _docs_as_pages(spark, sf_dir),
+        DedupConfig(minhash_scheme="kperm", use_containment=True),
+    )
+    _force(res.annotated)
+    res.release()
+
+
 def q_text_analytics(spark: SparkSession, sf_dir: str) -> None:
     """token/quality/lang/fingerprint over documents."""
     import __spark_entry__ as e
@@ -125,11 +140,59 @@ QUERIES = {
     "hamming_cc_annotate_n12": q_hamming_cc_n12,
     "webdedup_minhash_lsh": q_webdedup,
     "webdedup_oph": q_webdedup_oph,
+    "webdedup_containment": q_webdedup_containment,
     "text_analytics": q_text_analytics,
     "minhash_sql_jaccard": q_minhash_sql,
     "substring_dups": q_substring_dups,
     "ann_cosine_topk": q_ann,
 }
+
+
+def _host_window_health() -> dict:
+    """Host-window telemetry recorded INSIDE the bench JSON (VERDICT r4
+    item 3): this VM's per-core grant decays with uptime (BENCH/BASELINE.md
+    forensics — identical code measured 37.7s early-session vs 54-62s
+    late), so cross-round comparisons are only interpretable with the
+    window state attached.  The canary is a fixed single-process numpy
+    OPH-kernel run (no Spark, ~2s): compare it against the same field in
+    earlier BENCH_r{N}.json records — a 30-45% drop from the round's
+    reference marks a decayed window, in which case the headline total is
+    not comparable across rounds.  (It is also depressed while other
+    load shares the box; bench normally runs alone.)"""
+    out: dict = {}
+    try:
+        with open("/proc/uptime") as f:
+            out["uptime_h"] = round(float(f.read().split()[0]) / 3600, 2)
+    except OSError:
+        out["uptime_h"] = None
+    try:
+        import random
+        import time as _t
+
+        from humid_spark.functions.signatures import oph_signatures_batch
+
+        rng = random.Random(11)
+        words = ["".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                         for _ in range(rng.randint(3, 9)))
+                 for _ in range(5000)]
+        texts = []
+        for i in range(20_000):
+            target, parts, ln = 200 + (i * 797) % 1800, [], 0
+            while ln < target:
+                w = words[(i * 31 + ln * 7) % len(words)]
+                parts.append(w)
+                ln += len(w) + 1
+            texts.append(" ".join(parts))
+        oph_signatures_batch(texts[:200], 5, 128)  # warm numpy
+        t0 = _t.perf_counter()
+        oph_signatures_batch(texts, 5, 128)
+        out["canary_pages_per_sec"] = round(
+            len(texts) / (_t.perf_counter() - t0), 1
+        )
+    except Exception as exc:
+        out["canary_pages_per_sec"] = None
+        out["canary_error"] = f"{type(exc).__name__}: {exc}"
+    return out
 
 
 def main() -> None:
@@ -159,6 +222,7 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
+        **_host_window_health(),
     }))
     spark.stop()
 

@@ -973,6 +973,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_decode_stats"] = image_decode_stats
 
+    # --- audio: REAL WAV decode + exact integer features (round 5).
+    #     Planted 16-bit PCM blobs (every sample a pure function of
+    #     doc_id) go through the engine's stdlib RIFF chunk walker
+    #     (functions/audio.py); the oracle computes the same
+    #     n_samples / energy (sum of squares) / zero-crossings straight
+    #     from the planting formula — a decoder that misparses fmt,
+    #     drops frames or mis-signs samples hash-mismatches. ---
+    def audio_decode_stats(s, d):
+        import numpy as _np
+        import pandas as _pd
+
+        from humid_spark.functions.audio import audio_stats, encode_wav
+
+        ids = _t(s, d, "documents").select("doc_id").filter(
+            F.col("doc_id") < 200
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                urls, blobs = [], []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    n = 200 + did % 100
+                    rate = 8000 + (did % 3) * 4000
+                    sm = ((_np.arange(n, dtype=_np.int64) * 101 + did * 37)
+                          % 2001 - 1000).astype(_np.int16)
+                    urls.append(str(did))
+                    blobs.append(encode_wav(sm, rate))
+                yield _pd.DataFrame({"url": urls, "blob": blobs})
+
+        planted = ids.mapInPandas(gen, "url string, blob binary")
+        return audio_stats(planted, blob_col="blob")
+
+    q["audio_decode_stats"] = audio_decode_stats
+
+    # --- perceptual image dedup (round 5): planted 16x16 PPMs (pixel =
+    #     (doc_id*31 + y*7 + x*3 + c*11) % 200) plus brightness-shifted
+    #     copies (+8 on every pixel, id 's<doc_id>') flow through the
+    #     REAL chain — stdlib decode -> all-integer 64-bit average hash
+    #     -> the engine's capped SimHash band join.  max_bits=3 <
+    #     n_bands=4 keeps the blocking pigeonhole-EXHAUSTIVE, so the
+    #     oracle replays the aHash from the planting formula (block-sum
+    #     cross-multiplication, HUGEINT bit packing, signed int64 wrap)
+    #     and brute-forces hamming <= 3 — the shifted copies land at
+    #     distance 0 because aHash is provably brightness-shift
+    #     invariant (both sides of blk*npx > total*pb shift equally). ---
+    def image_phash_near_dups(s, d):
+        import numpy as _np
+        import pandas as _pd
+
+        from humid_spark.functions.multimodal import image_near_dups
+
+        ids = _t(s, d, "documents").select("doc_id").filter(
+            F.col("doc_id") < 120
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    y, x, c = _np.meshgrid(
+                        _np.arange(16), _np.arange(16), _np.arange(3),
+                        indexing="ij",
+                    )
+                    px = ((did * 31 + y * 7 + x * 3 + c * 11) % 200
+                          ).astype(_np.uint8)
+                    hdr = b"P6\n16 16\n255\n"
+                    rows.append((str(did), hdr + px.tobytes()))
+                    if did % 4 == 0:
+                        rows.append(("s" + str(did),
+                                     hdr + (px + 8).tobytes()))
+                yield _pd.DataFrame(rows, columns=["url", "blob"])
+
+        planted = ids.mapInPandas(gen, "url string, blob binary")
+        return image_near_dups(planted, blob_col="blob").withColumn(
+            "bit_dist", F.col("bit_dist").cast("long")
+        )
+
+    q["image_phash_near_dups"] = image_phash_near_dups
+
     # --- streaming dedup, batch-mode analog: the Structured-Streaming
     #     operator (dropDuplicatesWithinWatermark, streaming/dedup.py)
     #     keeps the first event per key per time window; the bounded-batch
@@ -1646,6 +1727,90 @@ def oracle_sql() -> dict[str, str]:
                CAST(g_sum AS BIGINT) AS g_sum,
                CAST(b_sum AS BIGINT) AS b_sum
         FROM sums
+    """
+
+    # Audio features computed from the planting formula, never from
+    # bytes: sample v(doc_id, i) = (doc_id*37 + i*101) % 2001 - 1000.
+    o["audio_decode_stats"] = """
+        WITH ids AS (
+          SELECT doc_id, 200 + doc_id % 100 AS n,
+                 8000 + (doc_id % 3) * 4000 AS rate
+          FROM documents WHERE doc_id < 200
+        ),
+        s AS (
+          SELECT i.doc_id, i.n, i.rate, t.i,
+                 (i.doc_id * 37 + t.i * 101) % 2001 - 1000 AS v
+          FROM ids i, unnest(generate_series(0, i.n - 1)) AS t(i)
+        ),
+        lagged AS (
+          SELECT *, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+          FROM s
+        ),
+        agg AS (
+          SELECT doc_id, any_value(n) AS n, any_value(rate) AS rate,
+                 sum(v * v) AS sumsq,
+                 sum(CASE WHEN prev IS NOT NULL
+                          AND ((v < 0) <> (prev < 0))
+                     THEN 1 ELSE 0 END) AS zc
+          FROM lagged GROUP BY doc_id
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS url, TRUE AS decoded,
+               CAST(1 AS INTEGER) AS n_channels,
+               CAST(rate AS INTEGER) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+               CAST(sumsq AS BIGINT) AS sumsq,
+               CAST(zc AS BIGINT) AS zero_crossings
+        FROM agg
+    """
+
+    # aHash replayed from the pixel formula: gray = 3-channel sum, 2x2
+    # block sums (16x16 image, 8x8 grid), bit iff bsum*64 > total
+    # (cross-multiplied block-mean vs global-mean), HUGEINT packing with
+    # the signed int64 wrap; pairs brute-forced at hamming <= 3 (equal to
+    # the engine's band blocking by pigeonhole, max_bits < n_bands).
+    o["image_phash_near_dups"] = """
+        WITH imgs AS (
+          SELECT CAST(doc_id AS VARCHAR) AS url, doc_id, 0 AS shift
+          FROM documents WHERE doc_id < 120
+          UNION ALL
+          SELECT 's' || CAST(doc_id AS VARCHAR) AS url, doc_id, 8 AS shift
+          FROM documents WHERE doc_id < 120 AND doc_id % 4 = 0
+        ),
+        px AS (
+          SELECT im.url, y.y, x.x,
+              ((im.doc_id*31 + y.y*7 + x.x*3) % 200 + im.shift)
+            + ((im.doc_id*31 + y.y*7 + x.x*3 + 11) % 200 + im.shift)
+            + ((im.doc_id*31 + y.y*7 + x.x*3 + 22) % 200 + im.shift)
+              AS gray
+          FROM imgs im,
+               unnest(generate_series(0, 15)) AS y(y),
+               unnest(generate_series(0, 15)) AS x(x)
+        ),
+        tot AS (SELECT url, sum(gray) AS total FROM px GROUP BY url),
+        blk AS (
+          SELECT url, y // 2 AS by, x // 2 AS bx, sum(gray) AS bsum
+          FROM px GROUP BY url, y // 2, x // 2
+        ),
+        ah AS (
+          SELECT b.url,
+                 sum(CASE WHEN b.bsum * 64 > t.total
+                          THEN CAST(1 AS HUGEINT) << (b.by * 8 + b.bx)
+                          ELSE CAST(0 AS HUGEINT) END) AS p
+          FROM blk b JOIN tot t USING (url)
+          GROUP BY b.url
+        ),
+        sh AS (
+          SELECT url,
+                 CAST(CASE WHEN p >= CAST(1 AS HUGEINT) << 63
+                           THEN p - (CAST(1 AS HUGEINT) << 64)
+                           ELSE p END AS BIGINT) AS ahash
+          FROM ah
+        )
+        SELECT a.url AS src, b.url AS dst,
+               CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS bit_dist
+        FROM sh a JOIN sh b ON a.url < b.url
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
     """
 
     o["events_dedup_windowed"] = """

@@ -1054,6 +1054,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_phash_near_dups"] = image_phash_near_dups
 
+    # --- video (round 5): REAL Y4M decode + exact luma stats.  Planted
+    #     mono YUV4MPEG2 streams (pixel = (doc_id*53 + t*17 + y*7 + x*3)
+    #     % 200 over 16x16 frames, n_frames = 4 + doc_id%4, fps
+    #     12 + doc_id%3) go through the stdlib stream parser
+    #     (functions/video.py); the oracle recomputes frame count,
+    #     duration and the luma sum/sum-of-squares straight from the
+    #     formula — a parser that misreads the header, drops frames or
+    #     mis-offsets planes hash-mismatches. ---
+    def video_decode_stats(s, d):
+        import numpy as _np
+        import pandas as _pd
+
+        from humid_spark.functions.video import encode_y4m, video_stats
+
+        ids = _t(s, d, "documents").select("doc_id").filter(
+            F.col("doc_id") < 150
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    n = 4 + did % 4
+                    t, y, x = _np.meshgrid(
+                        _np.arange(n), _np.arange(16), _np.arange(16),
+                        indexing="ij",
+                    )
+                    f = ((did * 53 + t * 17 + y * 7 + x * 3) % 200
+                         ).astype(_np.uint8)
+                    rows.append(
+                        (str(did), encode_y4m(f, fps=(12 + did % 3, 1)))
+                    )
+                yield _pd.DataFrame(rows, columns=["url", "blob"])
+
+        planted = ids.mapInPandas(gen, "url string, blob binary")
+        return video_stats(planted, blob_col="blob")
+
+    q["video_decode_stats"] = video_decode_stats
+
+    # --- perceptual video dedup (round 5): the same planting formula
+    #     at fixed n_frames=6 plus brightness-shifted copies (+8 every
+    #     luma sample, id 's<doc_id>') flows through the REAL chain —
+    #     Y4M decode -> frame-sample every 2nd frame (t = 0,2,4) ->
+    #     per-frame 64-bit aHash -> majority-combined video signature
+    #     -> the capped SimHash band join.  max_bits=3 < n_bands=4
+    #     keeps blocking pigeonhole-EXHAUSTIVE, so the oracle replays
+    #     the sampled-frame aHashes from the formula (HUGEINT), takes
+    #     the per-bit 2-of-3 majority, packs with the signed int64
+    #     wrap, and brute-forces hamming <= 3. ---
+    def video_phash_near_dups(s, d):
+        import numpy as _np
+        import pandas as _pd
+
+        from humid_spark.functions.video import encode_y4m, video_near_dups
+
+        ids = _t(s, d, "documents").select("doc_id").filter(
+            F.col("doc_id") < 80
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    t, y, x = _np.meshgrid(
+                        _np.arange(6), _np.arange(16), _np.arange(16),
+                        indexing="ij",
+                    )
+                    f = ((did * 53 + t * 17 + y * 7 + x * 3) % 200
+                         ).astype(_np.uint8)
+                    rows.append((str(did), encode_y4m(f)))
+                    if did % 5 == 0:
+                        rows.append(("s" + str(did), encode_y4m(f + 8)))
+                yield _pd.DataFrame(rows, columns=["url", "blob"])
+
+        planted = ids.mapInPandas(gen, "url string, blob binary")
+        return video_near_dups(planted, blob_col="blob", every=2).withColumn(
+            "bit_dist", F.col("bit_dist").cast("long")
+        )
+
+    q["video_phash_near_dups"] = video_phash_near_dups
+
     # --- streaming dedup, batch-mode analog: the Structured-Streaming
     #     operator (dropDuplicatesWithinWatermark, streaming/dedup.py)
     #     keeps the first event per key per time window; the bounded-batch
@@ -1811,6 +1894,103 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS bit_dist
         FROM sh a JOIN sh b ON a.url < b.url
         WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    """
+
+    # Video stats replayed from the planting formula, never from bytes:
+    # luma v(doc_id, t, y, x) = (doc_id*53 + t*17 + y*7 + x*3) % 200
+    # over n = 4 + doc_id%4 frames of 16x16 at fps 12 + doc_id%3.
+    o["video_decode_stats"] = """
+        WITH ids AS (
+          SELECT doc_id, 4 + doc_id % 4 AS n, 12 + doc_id % 3 AS fps
+          FROM documents WHERE doc_id < 150
+        ),
+        px AS (
+          SELECT i.doc_id, i.n, i.fps,
+                 (i.doc_id*53 + t.t*17 + y.y*7 + x.x*3) % 200 AS v
+          FROM ids i,
+               unnest(generate_series(0, i.n - 1)) AS t(t),
+               unnest(generate_series(0, 15)) AS y(y),
+               unnest(generate_series(0, 15)) AS x(x)
+        ),
+        agg AS (
+          SELECT doc_id, any_value(n) AS n, any_value(fps) AS fps,
+                 sum(v) AS ysum, sum(v * v) AS ysumsq
+          FROM px GROUP BY doc_id
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS url, TRUE AS decoded,
+               CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+               CAST(n AS BIGINT) AS n_frames,
+               CAST(fps AS INTEGER) AS fps_num,
+               CAST(1 AS INTEGER) AS fps_den,
+               CAST(n * 1000 // fps AS BIGINT) AS duration_ms,
+               CAST(ysum AS BIGINT) AS y_sum,
+               CAST(ysumsq AS BIGINT) AS y_sumsq
+        FROM agg
+    """
+
+    # Per-sampled-frame aHash (t = 0,2,4) from the luma formula —
+    # 2x2 block sums, bit iff bsum*64 > frame total (the mono
+    # cross-multiplication), HUGEINT packing — then the per-bit 2-of-3
+    # majority combine, the signed int64 wrap, and brute-forced pairs
+    # at hamming <= 3 (equal to the engine's band blocking by
+    # pigeonhole, max_bits < n_bands).
+    o["video_phash_near_dups"] = """
+        WITH vids AS (
+          SELECT CAST(doc_id AS VARCHAR) AS url, doc_id, 0 AS shift
+          FROM documents WHERE doc_id < 80
+          UNION ALL
+          SELECT 's' || CAST(doc_id AS VARCHAR) AS url, doc_id, 8 AS shift
+          FROM documents WHERE doc_id < 80 AND doc_id % 5 = 0
+        ),
+        px AS (
+          SELECT v.url, t.t, y.y, x.x,
+                 (v.doc_id*53 + t.t*17 + y.y*7 + x.x*3) % 200 + v.shift
+                   AS luma
+          FROM vids v,
+               unnest([0, 2, 4]) AS t(t),
+               unnest(generate_series(0, 15)) AS y(y),
+               unnest(generate_series(0, 15)) AS x(x)
+        ),
+        tot AS (
+          SELECT url, t, sum(luma) AS total FROM px GROUP BY url, t
+        ),
+        blk AS (
+          SELECT url, t, y // 2 AS by, x // 2 AS bx, sum(luma) AS bsum
+          FROM px GROUP BY url, t, y // 2, x // 2
+        ),
+        fh AS (
+          SELECT b.url, b.t,
+                 sum(CASE WHEN b.bsum * 64 > tt.total
+                          THEN CAST(1 AS HUGEINT) << (b.by * 8 + b.bx)
+                          ELSE CAST(0 AS HUGEINT) END) AS p
+          FROM blk b JOIN tot tt USING (url, t)
+          GROUP BY b.url, b.t
+        ),
+        bits AS (
+          SELECT f.url, g.b,
+                 sum(CAST((f.p >> g.b) & 1 AS INTEGER)) AS cnt,
+                 count(*) AS nf
+          FROM fh f, unnest(generate_series(0, 63)) AS g(b)
+          GROUP BY f.url, g.b
+        ),
+        sig AS (
+          SELECT url,
+                 sum(CASE WHEN cnt * 2 > nf
+                          THEN CAST(1 AS HUGEINT) << b
+                          ELSE CAST(0 AS HUGEINT) END) AS p
+          FROM bits GROUP BY url
+        ),
+        sh AS (
+          SELECT url,
+                 CAST(CASE WHEN p >= CAST(1 AS HUGEINT) << 63
+                           THEN p - (CAST(1 AS HUGEINT) << 64)
+                           ELSE p END AS BIGINT) AS vhash
+          FROM sig
+        )
+        SELECT a.url AS src, b.url AS dst,
+               CAST(bit_count(xor(a.vhash, b.vhash)) AS BIGINT) AS bit_dist
+        FROM sh a JOIN sh b ON a.url < b.url
+        WHERE bit_count(xor(a.vhash, b.vhash)) <= 3
     """
 
     o["events_dedup_windowed"] = """

@@ -1008,6 +1008,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["audio_decode_stats"] = audio_decode_stats
 
+    # --- acoustic near-dup (round 5): planted PCM clips (sample
+    #     v(did,i) = (did*37 + i*101) % 2001 - 1000, n = 130 + did%70)
+    #     plus volume-DOUBLED copies (exact at |v| <= 1000, id
+    #     's<did>') flow through the REAL chain — WAV decode -> 65-
+    #     segment energy-envelope fingerprint (bit k iff E[k+1] >
+    #     E[k]) -> the capped SimHash band join.  max_bits=3 <
+    #     n_bands=4 keeps blocking pigeonhole-EXHAUSTIVE; the oracle
+    #     replays segment energies from the formula (segment of sample
+    #     i is (65*i + 64) // n — the floor-boundary inverse), packs
+    #     the envelope bits as HUGEINT with the signed wrap, and
+    #     brute-forces hamming <= 3.  Doubled copies land at distance
+    #     0 because every energy scales by exactly 4. ---
+    def audio_fp_near_dups(s, d):
+        import numpy as _np
+        import pandas as _pd
+
+        from humid_spark.functions.audio import audio_near_dups, encode_wav
+
+        ids = _t(s, d, "documents").select("doc_id").filter(
+            F.col("doc_id") < 150
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    n = 130 + did % 70
+                    sm = ((_np.arange(n, dtype=_np.int64) * 101 + did * 37)
+                          % 2001 - 1000).astype(_np.int16)
+                    rows.append((str(did), encode_wav(sm, 8000)))
+                    if did % 5 == 0:
+                        rows.append(
+                            ("s" + str(did), encode_wav(sm * 2, 8000))
+                        )
+                yield _pd.DataFrame(rows, columns=["url", "blob"])
+
+        planted = ids.mapInPandas(gen, "url string, blob binary")
+        return audio_near_dups(planted, blob_col="blob").withColumn(
+            "bit_dist", F.col("bit_dist").cast("long")
+        )
+
+    q["audio_fp_near_dups"] = audio_fp_near_dups
+
     # --- perceptual image dedup (round 5): planted 16x16 PPMs (pixel =
     #     (doc_id*31 + y*7 + x*3 + c*11) % 200) plus brightness-shifted
     #     copies (+8 on every pixel, id 's<doc_id>') flow through the
@@ -1845,6 +1889,55 @@ def oracle_sql() -> dict[str, str]:
                CAST(sumsq AS BIGINT) AS sumsq,
                CAST(zc AS BIGINT) AS zero_crossings
         FROM agg
+    """
+
+    # Envelope fingerprint replayed from the sample formula: segment of
+    # sample i at clip length n is (65*i + 64) // n (inverse of the
+    # floor boundary k*n//65); energies sum v^2 per segment (the scaled
+    # copy uses 2v, so every energy is exactly 4x); bit k iff
+    # E[k+1] > E[k]; HUGEINT packing, signed wrap, hamming <= 3 pairs.
+    o["audio_fp_near_dups"] = """
+        WITH clips AS (
+          SELECT CAST(doc_id AS VARCHAR) AS url, doc_id,
+                 130 + doc_id % 70 AS n, 1 AS scale
+          FROM documents WHERE doc_id < 150
+          UNION ALL
+          SELECT 's' || CAST(doc_id AS VARCHAR) AS url, doc_id,
+                 130 + doc_id % 70 AS n, 2 AS scale
+          FROM documents WHERE doc_id < 150 AND doc_id % 5 = 0
+        ),
+        s AS (
+          SELECT c.url, (65 * t.i + 64) // c.n AS seg,
+                 ((c.doc_id * 37 + t.i * 101) % 2001 - 1000) * c.scale AS v
+          FROM clips c, unnest(generate_series(0, c.n - 1)) AS t(i)
+        ),
+        e AS (
+          SELECT url, seg, sum(v * v) AS energy FROM s GROUP BY url, seg
+        ),
+        delta AS (
+          SELECT url, seg,
+                 lead(energy) OVER (PARTITION BY url ORDER BY seg) AS nxt,
+                 energy
+          FROM e
+        ),
+        fp AS (
+          SELECT url,
+                 sum(CASE WHEN nxt > energy
+                          THEN CAST(1 AS HUGEINT) << seg
+                          ELSE CAST(0 AS HUGEINT) END) AS p
+          FROM delta WHERE seg < 64 GROUP BY url
+        ),
+        sh AS (
+          SELECT url,
+                 CAST(CASE WHEN p >= CAST(1 AS HUGEINT) << 63
+                           THEN p - (CAST(1 AS HUGEINT) << 64)
+                           ELSE p END AS BIGINT) AS afp
+          FROM fp
+        )
+        SELECT a.url AS src, b.url AS dst,
+               CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS bit_dist
+        FROM sh a JOIN sh b ON a.url < b.url
+        WHERE bit_count(xor(a.afp, b.afp)) <= 3
     """
 
     # aHash replayed from the pixel formula: gray = 3-channel sum, 2x2

@@ -80,6 +80,92 @@ def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
     return ch, rate, flat[: n * ch].reshape(n, ch)
 
 
+def audio_fp64(samples: np.ndarray) -> int:
+    """64-bit acoustic fingerprint, ALL-INTEGER: mix channels by
+    summation (stays integral), split the mix into 65 equal segments on
+    floor boundaries (bound k = k*n//65, the same grid rule as the
+    image aHash), take each segment's energy as an int64 sum of
+    squares, and set bit k iff energy[k+1] > energy[k] — delta-coding
+    the energy envelope, the shape Haitsma-Kalker-style audio hashes
+    use, reduced to exact integers.
+
+    Volume-scale invariant by construction: scaling every sample by an
+    integer c multiplies every segment energy by c^2, so all 64
+    comparisons are unchanged — a louder re-encode fingerprints
+    identically where byte-level sha2 sees nothing.  Returns the SIGNED
+    int64 (bit 63 wraps negative) for LongType and the 64-bit band
+    join.  Requires n >= 65 samples (raises ValueError — shorter clips
+    have no envelope to code)."""
+    s = np.asarray(samples, dtype=np.int64)
+    mix = s.sum(axis=1) if s.ndim == 2 else s
+    n = mix.shape[0]
+    if n < 65:
+        raise ValueError("need >= 65 samples for the 65-segment envelope")
+    bounds = [k * n // 65 for k in range(65)]
+    energy = np.add.reduceat(mix * mix, bounds)
+    bits = (energy[1:] > energy[:-1]).astype(np.uint64)
+    packed = int((bits << np.arange(64, dtype=np.uint64)).sum())
+    return packed - (1 << 64) if packed >= (1 << 63) else packed
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("afp", T.LongType(), True),
+    ]
+)
+
+
+def audio_fingerprints(df: DataFrame, blob_col: str = "html",
+                       url_col: str = "url") -> DataFrame:
+    """(url, afp) for every decodable blob with >= 65 samples;
+    undecodable or too-short blobs yield null (callers filter)."""
+    cols = df.select(F.col(url_col).alias("url"), F.col(blob_col).alias("blob"))
+
+    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, blob in zip(pdf["url"], pdf["blob"]):
+                fp = None
+                try:
+                    _ch, _rate, s = decode_wav(blob)
+                    fp = audio_fp64(s)
+                except (ValueError, struct.error, TypeError):
+                    fp = None
+                rows.append((url, fp))
+            yield pd.DataFrame(rows, columns=["url", "afp"])
+
+    return cols.mapInPandas(fps, AUDIO_FP_SCHEMA)
+
+
+def audio_near_dups(
+    df: DataFrame,
+    blob_col: str = "html",
+    url_col: str = "url",
+    max_bits: int = 3,
+    n_bands: int = 4,
+    band_cap: int = 2000,
+    track: list | None = None,
+) -> DataFrame:
+    """Acoustic near-duplicate detection — the third leg of the
+    perceptual-dedup trio (image aHash, video majority-aHash, this):
+    REAL WAV decode -> 64-bit envelope fingerprint (one narrow Arrow
+    pass; blobs never shuffle) -> the engine's capped+salted SimHash
+    band join.  With max_bits < n_bands blocking is
+    pigeonhole-EXHAUSTIVE.  Returns (src, dst, bit_dist), src < dst;
+    volume-rescaled re-encodes land at distance 0."""
+    from humid_spark.operators.lsh import simhash_pairs
+
+    fps = audio_fingerprints(df, blob_col=blob_col, url_col=url_col).filter(
+        F.col("afp").isNotNull()
+    )
+    return simhash_pairs(
+        fps, max_bits=max_bits, n_bands=n_bands,
+        id_col="url", sim_col="afp", sig_bits=64,
+        band_cap=band_cap, track=track,
+    )
+
+
 AUDIO_STATS_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),

@@ -7,7 +7,13 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from humid_spark.functions.audio import audio_stats, decode_wav, encode_wav
+from humid_spark.functions.audio import (
+    audio_fp64,
+    audio_near_dups,
+    audio_stats,
+    decode_wav,
+    encode_wav,
+)
 from humid_spark.functions.multimodal import ahash64, image_near_dups
 
 
@@ -78,6 +84,64 @@ def test_audio_stats_spark(spark):
         assert r["zero_crossings"] == int(
             np.count_nonzero(neg[1:] != neg[:-1])
         )
+
+
+# ---------- acoustic fingerprint ----------
+
+def _wav_samples(seed, n=300):
+    rng = np.random.RandomState(seed)
+    return rng.randint(-1000, 1001, size=n).astype(np.int16)
+
+
+def test_audio_fp_volume_invariant():
+    s = _wav_samples(1)
+    assert audio_fp64(s) == audio_fp64(s * 2) == audio_fp64(s * 7)
+
+
+def test_audio_fp_distinct_clips_differ():
+    assert audio_fp64(_wav_samples(1)) != audio_fp64(_wav_samples(2))
+
+
+def test_audio_fp_rejects_short():
+    with pytest.raises(ValueError):
+        audio_fp64(_wav_samples(3, n=64))
+
+
+def test_audio_fp_signed_int64_range():
+    # strictly growing envelope forces every bit set -> negative int64
+    s = (np.arange(650) // 10 * 3).astype(np.int16)
+    v = audio_fp64(s)
+    assert -(1 << 63) <= v < 0
+
+
+def test_audio_fp_matches_reference_formula():
+    s = _wav_samples(4, n=257)
+    mix = s.astype(np.int64)
+    bounds = [k * 257 // 65 for k in range(65)]
+    e = [int((mix[bounds[k]: (bounds[k + 1] if k < 64 else 257)] ** 2).sum())
+         for k in range(65)]
+    expect = 0
+    for k in range(64):
+        if e[k + 1] > e[k]:
+            expect |= 1 << k
+    if expect >= 1 << 63:
+        expect -= 1 << 64
+    assert audio_fp64(s) == expect
+
+
+def test_audio_near_dups_spark(spark):
+    rows = []
+    for i in range(10):
+        s = _wav_samples(20 + i)
+        rows.append((f"clip{i}", encode_wav(s, 8000)))
+        if i < 2:  # volume-doubled re-encode: fingerprint-identical
+            rows.append((f"loud{i}", encode_wav(s * 2, 8000)))
+    rows.append(("junk", b"ogg soup"))
+    df = spark.createDataFrame(rows, "url string, blob binary")
+    got = {(r["src"], r["dst"]): r["bit_dist"]
+           for r in audio_near_dups(df, blob_col="blob").collect()}
+    for i in range(2):
+        assert got.get((f"clip{i}", f"loud{i}")) == 0, got
 
 
 # ---------- average hash ----------

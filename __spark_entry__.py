@@ -1181,6 +1181,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["video_phash_near_dups"] = video_phash_near_dups
 
+    # --- video sub-clip containment (round 5): base videos from the
+    #     same luma formula at n = 8 + doc_id%4 frames; for doc_id%4==0
+    #     a re-posted CLIP (frames 2..7 cut contiguously, id
+    #     'c<doc_id>') re-enters.  The chain is decode -> per-frame
+    #     aHash -> k-gram Horner hash (base 1000003, exact uint64
+    #     wraparound) -> window-min winnow (k=3, w=4) -> the text
+    #     containment backend (capped inverted fp index, post-cap
+    #     sizes).  Clips score share_permille exactly 1000 by the
+    #     winnowing subset property.  The oracle replays every step in
+    #     HUGEINT mod-2^64 arithmetic — frame hashes from the pixel
+    #     formula (the clip's frame j is the base's frame j+2), Horner
+    #     grams via lead(), window mins, DISTINCT fingerprints, and
+    #     the share join. ---
+    def video_subclip_containment(s, d):
+        import numpy as _np
+        import pandas as _pd
+
+        from humid_spark.functions.video import (
+            encode_y4m,
+            video_subclip_pairs,
+        )
+
+        ids = _t(s, d, "documents").select("doc_id").filter(
+            F.col("doc_id") < 40
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    n = 8 + did % 4
+                    t, y, x = _np.meshgrid(
+                        _np.arange(n), _np.arange(16), _np.arange(16),
+                        indexing="ij",
+                    )
+                    f = ((did * 53 + t * 17 + y * 7 + x * 3) % 200
+                         ).astype(_np.uint8)
+                    rows.append((str(did), encode_y4m(f)))
+                    if did % 4 == 0:
+                        rows.append(("c" + str(did), encode_y4m(f[2:8])))
+                yield _pd.DataFrame(rows, columns=["url", "blob"])
+
+        planted = ids.mapInPandas(gen, "url string, blob binary")
+        return video_subclip_pairs(planted, blob_col="blob")
+
+    q["video_subclip_containment"] = video_subclip_containment
+
     # --- streaming dedup, batch-mode analog: the Structured-Streaming
     #     operator (dropDuplicatesWithinWatermark, streaming/dedup.py)
     #     keeps the first event per key per time window; the bounded-batch
@@ -2084,6 +2132,86 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.vhash, b.vhash)) AS BIGINT) AS bit_dist
         FROM sh a JOIN sh b ON a.url < b.url
         WHERE bit_count(xor(a.vhash, b.vhash)) <= 3
+    """
+
+    # Sub-clip containment replayed end to end: per-frame aHash from
+    # the luma formula (clip frame j = base frame j+2), 3-gram Horner
+    # hashes in HUGEINT mod-2^64 (base 1000003 — exactly the numpy
+    # uint64 wraparound), window-min over 4 consecutive grams, DISTINCT
+    # fingerprints, then the inverted-index share join (no fingerprint
+    # is hot at this corpus size, so the fp_cap=500 path is a no-op on
+    # both sides).  share_permille floors shared*1000/min(sizes).
+    o["video_subclip_containment"] = """
+        WITH vids AS (
+          SELECT CAST(doc_id AS VARCHAR) AS url, doc_id,
+                 8 + doc_id % 4 AS nf, 0 AS off
+          FROM documents WHERE doc_id < 40
+          UNION ALL
+          SELECT 'c' || CAST(doc_id AS VARCHAR) AS url, doc_id,
+                 6 AS nf, 2 AS off
+          FROM documents WHERE doc_id < 40 AND doc_id % 4 = 0
+        ),
+        px AS (
+          SELECT v.url, j.j, y.y, x.x,
+                 (v.doc_id*53 + (j.j + v.off)*17 + y.y*7 + x.x*3) % 200
+                   AS luma
+          FROM vids v,
+               unnest(generate_series(0, v.nf - 1)) AS j(j),
+               unnest(generate_series(0, 15)) AS y(y),
+               unnest(generate_series(0, 15)) AS x(x)
+        ),
+        tot AS (
+          SELECT url, j, sum(luma) AS total FROM px GROUP BY url, j
+        ),
+        blk AS (
+          SELECT url, j, y // 2 AS by, x // 2 AS bx, sum(luma) AS bsum
+          FROM px GROUP BY url, j, y // 2, x // 2
+        ),
+        fh AS (
+          SELECT b.url, b.j,
+                 sum(CASE WHEN b.bsum * 64 > t.total
+                          THEN CAST(1 AS HUGEINT) << (b.by * 8 + b.bx)
+                          ELSE CAST(0 AS HUGEINT) END) AS p
+          FROM blk b JOIN tot t USING (url, j)
+          GROUP BY b.url, b.j
+        ),
+        grams AS (
+          SELECT url, j,
+                 ((p * 1000003 % (CAST(1 AS HUGEINT) << 64)
+                   + lead(p, 1) OVER wj)
+                  % (CAST(1 AS HUGEINT) << 64) * 1000003
+                  % (CAST(1 AS HUGEINT) << 64)
+                  + lead(p, 2) OVER wj)
+                 % (CAST(1 AS HUGEINT) << 64) AS g,
+                 count(*) OVER (PARTITION BY url) AS nf
+          FROM fh
+          WINDOW wj AS (PARTITION BY url ORDER BY j)
+        ),
+        wm AS (
+          SELECT url, j,
+                 min(g) OVER (PARTITION BY url ORDER BY j
+                              ROWS BETWEEN CURRENT ROW
+                              AND 3 FOLLOWING) AS fp,
+                 nf - 2 AS ngrams
+          FROM grams WHERE j <= nf - 3
+        ),
+        fps AS (
+          SELECT DISTINCT url, fp FROM wm WHERE j <= ngrams - 4
+        ),
+        sizes AS (SELECT url, count(*) AS n_fp FROM fps GROUP BY url),
+        shared AS (
+          SELECT a.url AS src, b.url AS dst, count(*) AS shared
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.url < b.url
+          GROUP BY a.url, b.url
+        )
+        SELECT s.src, s.dst,
+               CAST(floor(s.shared * 1000.0 /
+                          least(na.n_fp, nb.n_fp)) AS BIGINT)
+                 AS share_permille
+        FROM shared s
+        JOIN sizes na ON na.url = s.src
+        JOIN sizes nb ON nb.url = s.dst
+        WHERE s.shared * 1000 >= 700 * least(na.n_fp, nb.n_fp)
     """
 
     o["events_dedup_windowed"] = """

@@ -235,6 +235,114 @@ def video_frame_samples(df: DataFrame, every: int = 2,
     return cols.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
 
 
+_GRAM_B = np.uint64(1000003)  # odd Horner base; wraps mod 2^64
+
+
+def winnow_frame_hashes(hashes: np.ndarray, k: int = 3,
+                        w: int = 4) -> np.ndarray:
+    """Winnowed fingerprints of a FRAME-HASH SEQUENCE — the
+    Schleimer-Wilkerson-Aiken scheme of `operators/containment.winnow`
+    with int64 frame aHashes as the tokens instead of text bytes:
+    k-gram Horner hashes (base 1000003, exact uint64 wraparound, so a
+    SQL oracle replays them in HUGEINT mod-2^64 arithmetic), window-min
+    over `w` consecutive grams, dedup.  Containment property carries
+    over: if clip A's frame sequence occurs contiguously inside video B
+    (same sampling), every w-window of A's gram sequence is a w-window
+    of B's, so fp(A) ⊆ fp(B).
+
+    Returns distinct fingerprints as SIGNED int64 (empty for sequences
+    shorter than k; a single min-gram fingerprint for 1 <= n_grams < w,
+    mirroring the short-doc rule in `containment.winnow_batch`)."""
+    t = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+    n = t.shape[0]
+    if n < k:
+        return np.empty(0, dtype=np.int64)
+    h = t[: n - k + 1].copy()
+    for j in range(1, k):
+        h = h * _GRAM_B + t[j : n - k + 1 + j]
+    if len(h) >= w:
+        mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+    else:
+        mins = h.min(keepdims=True)
+    return np.unique(mins).view(np.int64)
+
+
+VIDEO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc", T.StringType(), False),
+        T.StructField("fps", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def video_fingerprints(df: DataFrame, every: int = 1, k: int = 3,
+                       w: int = 4, blob_col: str = "html",
+                       url_col: str = "url") -> DataFrame:
+    """(doc, fps) winnowed frame-sequence fingerprints, ONE mapInPandas
+    pass per blob: decode -> sample every `every`-th frame -> per-frame
+    aHash -> k-gram winnow.  Blobs never shuffle; the output rows carry
+    only the fingerprint arrays.  Undecodable blobs and videos with
+    fewer than k hashable frames yield no row."""
+    cols = df.select(F.col(url_col).alias("url"), F.col(blob_col).alias("blob"))
+
+    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, blob in zip(pdf["url"], pdf["blob"]):
+                try:
+                    _meta, y = decode_y4m(bytes(blob))
+                except (ValueError, TypeError):
+                    continue
+                hs = []
+                for idx in range(0, y.shape[0], every):
+                    try:
+                        hs.append(ahash64(y[idx][:, :, None]))
+                    except ValueError:
+                        pass  # sub-8x8 frames carry no hash
+                got = winnow_frame_hashes(np.array(hs, dtype=np.int64), k, w)
+                if len(got):
+                    rows.append((url, got.tolist()))
+            yield pd.DataFrame(rows, columns=["doc", "fps"])
+
+    return cols.mapInPandas(fps, VIDEO_FP_SCHEMA)
+
+
+def video_subclip_pairs(
+    df: DataFrame,
+    every: int = 1,
+    k: int = 3,
+    w: int = 4,
+    min_share: float = 0.7,
+    fp_cap: int = 500,
+    blob_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Sub-clip containment: (src, dst, share_permille) where the
+    smaller video's winnowed frame-fingerprint set is >= min_share
+    contained in the intersection — a re-posted clip cut contiguously
+    from a longer video scores exactly 1000 (the winnowing subset
+    property over frame hashes).  The pair engine is the text
+    containment backend (`operators/containment.
+    containment_pairs_from_fps`): capped inverted fingerprint index,
+    post-cap sizes, never an all-pairs join.
+
+    The fingerprint table is localCheckpointed here (the backend
+    consumes it four times; recomputing would re-decode every blob
+    four times — the video analog of the 23s->4s text measurement in
+    `containment_pairs`)."""
+    from humid_spark.operators.containment import containment_pairs_from_fps
+
+    spark = df.sparkSession
+    fps = (
+        video_fingerprints(df, every=every, k=k, w=w,
+                           blob_col=blob_col, url_col=url_col)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    return containment_pairs_from_fps(fps, min_share=min_share,
+                                      fp_cap=fp_cap)
+
+
 def video_signatures(frame_hashes: DataFrame) -> DataFrame:
     """(url, vhash): majority-combine per-frame aHashes into one 64-bit
     signature — bit b set iff strictly more than half the sampled

@@ -14,6 +14,8 @@ from humid_spark.functions.video import (
     video_near_dups,
     video_signatures,
     video_stats,
+    video_subclip_pairs,
+    winnow_frame_hashes,
 )
 
 
@@ -128,6 +130,40 @@ def test_video_signature_majority(spark):
     if expect >= 1 << 63:
         expect -= 1 << 64
     assert sig["vhash"] == expect == ha  # 2-of-3 majority is exactly ha
+
+
+def test_winnow_frame_hashes_subset_property():
+    rng = np.random.RandomState(31)
+    full = rng.randint(-(1 << 62), 1 << 62, size=20).astype(np.int64)
+    clip = full[5:13]  # contiguous run
+    fp_full = set(winnow_frame_hashes(full).tolist())
+    fp_clip = set(winnow_frame_hashes(clip).tolist())
+    assert fp_clip and fp_clip <= fp_full
+
+
+def test_winnow_frame_hashes_edges():
+    assert len(winnow_frame_hashes(np.array([1, 2], dtype=np.int64))) == 0
+    # k <= n_grams < w: single min-gram fingerprint
+    short = winnow_frame_hashes(np.array([1, 2, 3, 4], dtype=np.int64))
+    assert len(short) == 1
+
+
+def test_video_subclip_pairs_spark(spark):
+    rng = np.random.RandomState(41)
+    rows = []
+    fulls = []
+    for i in range(6):
+        f = rng.randint(0, 200, size=(10, 16, 16), dtype=np.uint8)
+        fulls.append(f)
+        rows.append((f"full{i}", encode_y4m(f)))
+        if i < 2:  # re-posted clip: frames 2..7 cut contiguously
+            rows.append((f"clip{i}", encode_y4m(f[2:8])))
+    rows.append(("junk", b"webm soup"))
+    df = spark.createDataFrame(rows, "url string, blob binary")
+    got = {(r["src"], r["dst"]): r["share_permille"]
+           for r in video_subclip_pairs(df, blob_col="blob").collect()}
+    for i in range(2):
+        assert got.get((f"clip{i}", f"full{i}")) == 1000, got
 
 
 def test_video_near_dups_spark(spark):

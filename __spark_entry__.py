@@ -1098,6 +1098,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_phash_near_dups"] = image_phash_near_dups
 
+    # --- exact-integer resize (round 5): the planted 16x16 PPMs resize
+    #     to 8x8 by block mean (output pixel = floor(2x2-block sum / 4)),
+    #     re-encode as P6, and ROUND-TRIP through the engine's own
+    #     decoder into channel sums — hash-checking decode, the resize
+    #     arithmetic, and encode at once.  The oracle computes the block
+    #     means straight from the pixel formula. ---
+    def image_resize_stats(s, d):
+        import numpy as _np
+        import pandas as _pd
+
+        from humid_spark.functions.multimodal import image_resize, image_stats
+
+        ids = _t(s, d, "documents").select("doc_id").filter(
+            F.col("doc_id") < 150
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    y, x, c = _np.meshgrid(
+                        _np.arange(16), _np.arange(16), _np.arange(3),
+                        indexing="ij",
+                    )
+                    px = ((did * 31 + y * 7 + x * 3 + c * 11) % 200
+                          ).astype(_np.uint8)
+                    rows.append((str(did), b"P6\n16 16\n255\n" + px.tobytes()))
+                yield _pd.DataFrame(rows, columns=["url", "blob"])
+
+        planted = ids.mapInPandas(gen, "url string, blob binary")
+        resized = image_resize(planted, out_w=8, out_h=8, blob_col="blob")
+        return image_stats(resized, blob_col="resized").select(
+            "url", "width", "height", "r_sum", "g_sum", "b_sum"
+        )
+
+    q["image_resize_stats"] = image_resize_stats
+
     # --- video (round 5): REAL Y4M decode + exact luma stats.  Planted
     #     mono YUV4MPEG2 streams (pixel = (doc_id*53 + t*17 + y*7 + x*3)
     #     % 200 over 16x16 frames, n_frames = 4 + doc_id%4, fps
@@ -1986,6 +2024,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS bit_dist
         FROM sh a JOIN sh b ON a.url < b.url
         WHERE bit_count(xor(a.afp, b.afp)) <= 3
+    """
+
+    # Resized-image channel sums from the pixel formula: output pixel
+    # (oy, ox, c) = floor(sum of the 2x2 input block / 4); sums per
+    # channel over the 8x8 output.  width/height echo the SOURCE dims.
+    o["image_resize_stats"] = """
+        WITH ids AS (
+          SELECT doc_id FROM documents WHERE doc_id < 150
+        ),
+        px AS (
+          SELECT i.doc_id, y.y // 2 AS oy, x.x // 2 AS ox, c.c,
+                 (i.doc_id*31 + y.y*7 + x.x*3 + c.c*11) % 200 AS v
+          FROM ids i,
+               unnest(generate_series(0, 15)) AS y(y),
+               unnest(generate_series(0, 15)) AS x(x),
+               unnest([0, 1, 2]) AS c(c)
+        ),
+        blocks AS (
+          SELECT doc_id, oy, ox, c, sum(v) // 4 AS out_v
+          FROM px GROUP BY doc_id, oy, ox, c
+        ),
+        sums AS (
+          SELECT doc_id,
+                 sum(CASE WHEN c = 0 THEN out_v ELSE 0 END) AS r_sum,
+                 sum(CASE WHEN c = 1 THEN out_v ELSE 0 END) AS g_sum,
+                 sum(CASE WHEN c = 2 THEN out_v ELSE 0 END) AS b_sum
+          FROM blocks GROUP BY doc_id
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS url,
+               CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+               CAST(r_sum AS BIGINT) AS r_sum,
+               CAST(g_sum AS BIGINT) AS g_sum,
+               CAST(b_sum AS BIGINT) AS b_sum
+        FROM sums
     """
 
     # aHash replayed from the pixel formula: gray = 3-channel sum, 2x2

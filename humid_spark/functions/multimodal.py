@@ -293,6 +293,80 @@ def binary_exact_dups(df: DataFrame, blob_col: str = "html") -> DataFrame:
     )
 
 
+def encode_ppm(px: np.ndarray) -> bytes:
+    """Binary netpbm writer: (h, w, 3) -> P6, (h, w) or (h, w, 1) -> P5.
+    The sink-side counterpart of `decode_ppm`."""
+    a = np.asarray(px, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    h, w = a.shape[:2]
+    magic = b"P6" if a.ndim == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode("ascii") + a.tobytes()
+
+
+def resize_block_mean(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """EXACT-integer resize: the output pixel (oy, ox) is the floor mean
+    of the input block [oy*h//out_h, (oy+1)*h//out_h) x [ox*w//out_w,
+    (ox+1)*w//out_w) — the same floor-boundary grid rule as `ahash64`
+    and the audio envelope segments, so a SQL oracle replays it with
+    sum(v) // block_px per block.  Downsample-only (raises ValueError
+    when a target dimension exceeds the source — block-mean semantics
+    need >= 1 source pixel per output pixel)."""
+    a = np.asarray(px, dtype=np.int64)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    if out_h > h or out_w > w or out_h < 1 or out_w < 1:
+        raise ValueError("block-mean resize requires 1 <= out <= in")
+    ys = [y * h // out_h for y in range(out_h)]
+    xs = [x * w // out_w for x in range(out_w)]
+    blk = np.add.reduceat(np.add.reduceat(a, ys, axis=0), xs, axis=1)
+    npx = np.outer(
+        np.diff(ys + [h]), np.diff(xs + [w])
+    ).astype(np.int64)[:, :, None]
+    return (blk // npx).astype(np.uint8)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("resized", T.BinaryType(), True),
+    ]
+)
+
+
+def image_resize(df: DataFrame, out_w: int, out_h: int,
+                 blob_col: str = "html", url_col: str = "url") -> DataFrame:
+    """Resize every decodable blob to out_w x out_h by exact block mean
+    and re-encode as netpbm (P6/P5) — decode, transform and encode in
+    ONE Arrow pass; blobs never shuffle.  Undecodable or too-small
+    sources yield null columns (callers filter).  width/height echo the
+    SOURCE dimensions for lineage."""
+    cols = df.select(F.col(url_col).alias("url"), F.col(blob_col).alias("blob"))
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, blob in zip(pdf["url"], pdf["blob"]):
+                got = decode_image(blob) if blob is not None else None
+                if got is None:
+                    rows.append((url, None, None, None))
+                    continue
+                w, h, _fmt, px = got
+                try:
+                    out = encode_ppm(resize_block_mean(px, out_w, out_h))
+                except ValueError:
+                    out = None
+                rows.append((url, w, h, out))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    return cols.mapInPandas(rs, RESIZE_SCHEMA)
+
+
 def ahash64(px: np.ndarray) -> int:
     """64-bit average hash (aHash) of a decoded image, ALL-INTEGER:
 

@@ -155,3 +155,69 @@ def test_image_stats_spark(spark):
             int(x) for x in sums)
     assert got["junk"]["decoded"] is False and got["junk"]["r_sum"] is None
     assert got["null"]["decoded"] is False
+
+
+# ---------- exact-integer resize (round 5) ----------
+
+def test_resize_block_mean_exact():
+    from humid_spark.functions.multimodal import resize_block_mean
+
+    px = _pixels(16, 16, 3, seed=11)
+    out = resize_block_mean(px, 8, 8)
+    assert out.shape == (8, 8, 3)
+    a = px.astype(np.int64)
+    for oy in range(8):
+        for ox in range(8):
+            blk = a[oy * 2: oy * 2 + 2, ox * 2: ox * 2 + 2]
+            assert np.array_equal(out[oy, ox], blk.sum(axis=(0, 1)) // 4)
+
+
+def test_resize_uneven_grid_floor_bounds():
+    from humid_spark.functions.multimodal import resize_block_mean
+
+    px = _pixels(7, 5, 1, seed=12)  # 7x5 -> 3x2: uneven blocks
+    out = resize_block_mean(px, 3, 2)
+    a = px.astype(np.int64)[:, :, 0]
+    ys = [i * 5 // 2 for i in range(2)] + [5]
+    xs = [i * 7 // 3 for i in range(3)] + [7]
+    for oy in range(2):
+        for ox in range(3):
+            blk = a[ys[oy]: ys[oy + 1], xs[ox]: xs[ox + 1]]
+            assert out[oy, ox, 0] == blk.sum() // blk.size
+
+
+def test_resize_rejects_upsample():
+    from humid_spark.functions.multimodal import resize_block_mean
+
+    with pytest.raises(ValueError):
+        resize_block_mean(_pixels(4, 4, 3), 8, 8)
+
+
+def test_encode_ppm_roundtrip():
+    from humid_spark.functions.multimodal import encode_ppm
+
+    rgb = _pixels(6, 4, 3, seed=13)
+    w, h, fmt, got = decode_ppm(encode_ppm(rgb))
+    assert (w, h, fmt) == (6, 4, "PPM") and np.array_equal(got, rgb)
+    gray = _pixels(5, 3, 1, seed=14)
+    w, h, fmt, got = decode_ppm(encode_ppm(gray))
+    assert (w, h, fmt) == (5, 3, "PGM") and np.array_equal(got, gray)
+
+
+def test_image_resize_spark(spark):
+    from humid_spark.functions.multimodal import (
+        image_resize,
+        resize_block_mean,
+    )
+
+    px = _pixels(16, 16, 3, seed=15)
+    rows = [("a", b"P6\n16 16\n255\n" + px.tobytes()),
+            ("junk", b"nope"), ("null", None)]
+    df = spark.createDataFrame(rows, "url string, blob binary")
+    got = {r["url"]: r
+           for r in image_resize(df, 8, 8, blob_col="blob").collect()}
+    assert got["junk"]["resized"] is None and got["null"]["resized"] is None
+    assert (got["a"]["width"], got["a"]["height"]) == (16, 16)  # source dims
+    w, h, _fmt, out = decode_ppm(bytes(got["a"]["resized"]))
+    assert (w, h) == (8, 8)
+    assert np.array_equal(out, resize_block_mean(px, 8, 8))

@@ -1267,6 +1267,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["video_subclip_containment"] = video_subclip_containment
 
+    # --- video resize round-trip (round 5): the planted videos resize
+    #     to 8x8 per frame (luma block mean, floor division), sampling
+    #     every 2nd frame, re-encode as mono Y4M, and ROUND-TRIP
+    #     through the engine's own stream parser into luma sums — the
+    #     video analog of image_resize_stats.  Oracle: sum over output
+    #     pixels of floor(2x2-block sum / 4) for t in (0, 2, ...). ---
+    def video_resize_stats(s, d):
+        import numpy as _np
+        import pandas as _pd
+
+        from humid_spark.functions.video import encode_y4m, video_resize, video_stats
+
+        ids = _t(s, d, "documents").select("doc_id").filter(
+            F.col("doc_id") < 100
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    n = 4 + did % 4
+                    t, y, x = _np.meshgrid(
+                        _np.arange(n), _np.arange(16), _np.arange(16),
+                        indexing="ij",
+                    )
+                    f = ((did * 53 + t * 17 + y * 7 + x * 3) % 200
+                         ).astype(_np.uint8)
+                    rows.append(
+                        (str(did), encode_y4m(f, fps=(12 + did % 3, 1)))
+                    )
+                yield _pd.DataFrame(rows, columns=["url", "blob"])
+
+        planted = ids.mapInPandas(gen, "url string, blob binary")
+        resized = video_resize(planted, out_w=8, out_h=8, every=2,
+                               blob_col="blob")
+        return video_stats(resized, blob_col="resized").select(
+            "url", "width", "height", "n_frames", "fps_num", "y_sum"
+        )
+
+    q["video_resize_stats"] = video_resize_stats
+
     # --- streaming dedup, batch-mode analog: the Structured-Streaming
     #     operator (dropDuplicatesWithinWatermark, streaming/dedup.py)
     #     keeps the first event per key per time window; the bounded-batch
@@ -2204,6 +2246,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.vhash, b.vhash)) AS BIGINT) AS bit_dist
         FROM sh a JOIN sh b ON a.url < b.url
         WHERE bit_count(xor(a.vhash, b.vhash)) <= 3
+    """
+
+    # Resized-video luma sums from the formula: sampled frames t in
+    # (0, 2, ...) of n = 4 + doc_id%4; output pixel = floor(2x2-block
+    # sum / 4); width/height/n_frames/fps are the RESIZED stream's
+    # (8x8, ceil(n/2) frames, source fps preserved by the re-encode).
+    o["video_resize_stats"] = """
+        WITH ids AS (
+          SELECT doc_id, 4 + doc_id % 4 AS n, 12 + doc_id % 3 AS fps
+          FROM documents WHERE doc_id < 100
+        ),
+        px AS (
+          SELECT i.doc_id, i.n, i.fps, t.t, y.y // 2 AS oy, x.x // 2 AS ox,
+                 (i.doc_id*53 + t.t*17 + y.y*7 + x.x*3) % 200 AS v
+          FROM ids i,
+               unnest(generate_series(0, i.n - 1)) AS t(t),
+               unnest(generate_series(0, 15)) AS y(y),
+               unnest(generate_series(0, 15)) AS x(x)
+          WHERE t.t % 2 = 0
+        ),
+        blocks AS (
+          SELECT doc_id, any_value(n) AS n, any_value(fps) AS fps,
+                 t, oy, ox, sum(v) // 4 AS out_v
+          FROM px GROUP BY doc_id, t, oy, ox
+        ),
+        agg AS (
+          SELECT doc_id, any_value(n) AS n, any_value(fps) AS fps,
+                 count(DISTINCT t) AS nf, sum(out_v) AS ysum
+          FROM blocks GROUP BY doc_id
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS url,
+               CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+               CAST(nf AS BIGINT) AS n_frames,
+               CAST(fps AS INTEGER) AS fps_num,
+               CAST(ysum AS BIGINT) AS y_sum
+        FROM agg
     """
 
     # Sub-clip containment replayed end to end: per-frame aHash from

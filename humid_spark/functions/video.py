@@ -235,6 +235,61 @@ def video_frame_samples(df: DataFrame, every: int = 2,
     return cols.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
 
 
+VIDEO_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("resized", T.BinaryType(), True),
+    ]
+)
+
+
+def video_resize(df: DataFrame, out_w: int, out_h: int, every: int = 1,
+                 blob_col: str = "html", url_col: str = "url") -> DataFrame:
+    """Resize every decodable video to out_w x out_h (exact per-frame
+    block mean — `multimodal.resize_block_mean` on the luma plane),
+    optionally frame-sampling every `every`-th frame, and re-encode as
+    mono Y4M — decode, transform and encode in ONE Arrow pass; blobs
+    never shuffle.  width/height/n_frames echo the SOURCE for lineage;
+    undecodable or too-small sources yield null columns."""
+    from humid_spark.functions.multimodal import resize_block_mean
+
+    if every < 1:
+        raise ValueError("every must be >= 1")
+    cols = df.select(F.col(url_col).alias("url"), F.col(blob_col).alias("blob"))
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, blob in zip(pdf["url"], pdf["blob"]):
+                try:
+                    meta, y = decode_y4m(bytes(blob))
+                except (ValueError, TypeError):
+                    rows.append((url, None, None, None, None))
+                    continue
+                try:
+                    small = np.stack([
+                        resize_block_mean(y[i], out_w, out_h)[:, :, 0]
+                        for i in range(0, y.shape[0], every)
+                    ]) if y.shape[0] else np.empty(
+                        (0, out_h, out_w), np.uint8
+                    )
+                    out = encode_y4m(
+                        small, fps=(meta["fps_num"], meta["fps_den"])
+                    )
+                except ValueError:
+                    out = None
+                rows.append((url, meta["width"], meta["height"],
+                             int(y.shape[0]), out))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_RESIZE_SCHEMA.fields]
+            )
+
+    return cols.mapInPandas(rs, VIDEO_RESIZE_SCHEMA)
+
+
 _GRAM_B = np.uint64(1000003)  # odd Horner base; wraps mod 2^64
 
 

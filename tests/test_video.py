@@ -132,6 +132,30 @@ def test_video_signature_majority(spark):
     assert sig["vhash"] == expect == ha  # 2-of-3 majority is exactly ha
 
 
+def test_video_resize_spark(spark):
+    from humid_spark.functions.multimodal import resize_block_mean
+    from humid_spark.functions.video import video_resize
+
+    f = _vid(50, n=5)
+    df = spark.createDataFrame(
+        [("v", encode_y4m(f, fps=(30, 1))), ("bad", b"avi soup")],
+        "url string, blob binary",
+    )
+    got = {r["url"]: r
+           for r in video_resize(df, 8, 8, every=2, blob_col="blob").collect()}
+    assert got["bad"]["resized"] is None
+    r = got["v"]
+    assert (r["width"], r["height"], r["n_frames"]) == (16, 16, 5)  # source
+    meta, small = decode_y4m(bytes(r["resized"]))
+    assert (meta["width"], meta["height"]) == (8, 8)
+    assert (meta["fps_num"], meta["fps_den"]) == (30, 1)  # fps preserved
+    assert small.shape[0] == 3  # frames 0, 2, 4
+    for j, idx in enumerate((0, 2, 4)):
+        assert np.array_equal(
+            small[j], resize_block_mean(f[idx], 8, 8)[:, :, 0]
+        )
+
+
 def test_winnow_frame_hashes_subset_property():
     rng = np.random.RandomState(31)
     full = rng.randint(-(1 << 62), 1 << 62, size=20).astype(np.int64)

@@ -553,6 +553,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_dedup_funnel"] = web_funnel
 
+    # --- INCREMENTAL (snapshot-N+1) dedup: the production shape the
+    #     batch-only reference cannot express (src/humid.cc:443-452
+    #     re-reads the full input per run).  The corpus splits into an
+    #     already-ingested INDEX (doc_id % 3 != 0) and a NEW BATCH
+    #     (doc_id % 3 == 0); each tier plants its own dups so the result
+    #     is non-vacuous at any scale factor (planted ids are -doc_id - 1,
+    #     disjoint from the non-negative id space):
+    #     - exact tier: index docs with doc_id % 10 == 1 re-enter the
+    #       batch verbatim -> fingerprint anti-join drops them;
+    #     - near tier: the same donors re-enter with ' near dup copy'
+    #       appended -> asymmetric band join + exact-Jaccard verify
+    #       finds them against their index originals. ---
+    def incr_exact(s, d):
+        from humid_spark.functions import textstats as ts
+        from humid_spark.operators.incremental import exact_survivors
+
+        docs = _t(s, d, "documents").filter(F.col("text").isNotNull())
+        index = docs.filter(F.col("doc_id") % 3 != 0)
+        planted = index.filter(F.col("doc_id") % 10 == 1).select(
+            (-F.col("doc_id") - 1).alias("doc_id"), "text"
+        )
+        batch = (
+            docs.filter(F.col("doc_id") % 3 == 0)
+            .select("doc_id", "text")
+            .unionByName(planted)
+        )
+        fp = ts.fingerprint(F.col("text")).alias("fp")
+        return exact_survivors(
+            batch.select("doc_id", fp), index.select(fp)
+        ).select("doc_id")
+
+    q["incremental_exact_dedup"] = incr_exact
+
+    def incr_near(s, d):
+        from humid_spark.functions.signatures import sql_parity_sig_table
+        from humid_spark.operators.incremental import cross_band_pairs
+
+        docs = _t(s, d, "documents").filter(
+            F.col("text").isNotNull() & (F.length("text") >= MH_K)
+        )
+        planted = docs.filter(
+            (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 10 == 1)
+        ).select(
+            (-F.col("doc_id") - 1).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" near dup copy")).alias("text"),
+        )
+        corpus = (
+            docs.filter(F.col("doc_id") % 3 == 0)
+            .select("doc_id", "text")
+            .unionByName(planted)
+            .unionByName(
+                docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+            )
+        )
+        # one checkpointed table feeds batch buckets, index buckets AND
+        # the Jaccard verify; side is recoverable from the id (planted
+        # ids are negative, batch originals are % 3 == 0)
+        tbl = sql_parity_sig_table(
+            corpus.repartition(s.sparkContext.defaultParallelism),
+            MH_K, MH_PERMS,
+        ).localCheckpoint(eager=True)
+        is_batch = (F.col("doc_id") < 0) | (F.col("doc_id") % 3 == 0)
+
+        def bands_of(sigs):
+            r = MH_BAND_R
+            arr = F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":", *[F.col(f"h{r * b + i}") for i in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(MH_PERMS // r)
+                ]
+            )
+            return sigs.select("doc_id", F.explode(arr).alias("bb")).select(
+                "doc_id", "bb.band", "bb.bucket"
+            )
+
+        sigs = tbl.drop("sh")
+        pairs = cross_band_pairs(
+            bands_of(sigs.filter(is_batch)),
+            bands_of(sigs.filter(~is_batch)),
+            bucket_cap=2000,
+        )
+        sh = tbl.select("doc_id", "sh")
+        return (
+            pairs
+            .join(sh.select(F.col("doc_id").alias("src"),
+                            F.col("sh").alias("sh_a")), "src")
+            .join(sh.select(F.col("doc_id").alias("dst"),
+                            F.col("sh").alias("sh_b")), "dst")
+            .select(
+                "src", "dst",
+                F.floor(
+                    F.size(F.array_intersect("sh_a", "sh_b")) * 1000
+                    / F.size(F.array_union("sh_a", "sh_b"))
+                ).cast("long").alias("jaccard_permille"),
+            )
+            .filter(F.col("jaccard_permille") >= FUNNEL_THRESH)
+        )
+
+    q["incremental_near_dups"] = incr_near
+
     # --- text analytics ---
     def text_stats(s, d):
         from humid_spark.functions import textstats as ts
@@ -1576,6 +1681,57 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT {ts.sql_fingerprint('text')} AS fp, count(*) AS n, "
         f"min(doc_id) AS keep_doc_id FROM documents GROUP BY 1"
     )
+
+    # --- incremental (batch-vs-index) dedup: replay the index/batch split
+    #     and the planted re-entries, then the anti-join / asymmetric band
+    #     join in SQL.  bucket_cap=2000 never fires at sf<=0.01 (the whole
+    #     index is smaller than one cap), so the uncapped SQL join is the
+    #     exact pair set; salting is pair-set-invariant by construction
+    #     (pinned by tests/test_incremental.py). ---
+    o["incremental_exact_dedup"] = f"""
+        WITH idx AS (
+          SELECT doc_id, text FROM documents
+          WHERE text IS NOT NULL AND doc_id % 3 != 0
+        ),
+        batch AS (
+          SELECT doc_id, text FROM documents
+          WHERE text IS NOT NULL AND doc_id % 3 = 0
+          UNION ALL
+          SELECT -doc_id - 1, text FROM idx WHERE doc_id % 10 = 1
+        )
+        SELECT b.doc_id FROM batch b
+        WHERE {ts.sql_fingerprint('b.text')} NOT IN
+              (SELECT {ts.sql_fingerprint('text')} FROM idx)
+    """
+
+    o["incremental_near_dups"] = f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          WHERE text IS NOT NULL AND length(text) >= {MH_K}
+          UNION ALL
+          SELECT -doc_id - 1, text || ' near dup copy' FROM documents
+          WHERE doc_id % 3 != 0 AND doc_id % 10 = 1
+            AND text IS NOT NULL AND length(text) >= {MH_K}
+        ),
+        shg AS (SELECT doc_id, {_fsh} AS sh FROM corpus),
+        sigs AS (SELECT doc_id, {_fmins} FROM shg),
+        bsig AS (SELECT * FROM sigs WHERE doc_id < 0 OR doc_id % 3 = 0),
+        isig AS (SELECT * FROM sigs
+                 WHERE doc_id >= 0 AND doc_id % 3 != 0),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+          FROM bsig a JOIN isig b ON ({_fbands})
+        )
+        SELECT c.src, c.dst,
+               (1000 * len(list_intersect(x.sh, y.sh)))
+                 // len(list_distinct(list_concat(x.sh, y.sh)))
+                 AS jaccard_permille
+        FROM cand c JOIN shg x ON c.src = x.doc_id
+                    JOIN shg y ON c.dst = y.doc_id
+        WHERE (1000 * len(list_intersect(x.sh, y.sh)))
+                // len(list_distinct(list_concat(x.sh, y.sh)))
+                >= {FUNNEL_THRESH}
+    """
 
     o["pricing_summary"] = (
         "SELECT l_returnflag, l_linestatus, "

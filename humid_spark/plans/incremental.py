@@ -1,0 +1,262 @@
+"""Incremental (snapshot-N+1) dedup pipeline: a persistent DedupIndex.
+
+The reference engine is batch-only — every invocation re-reads the full
+input (src/humid.cc:443-452 loops the whole FastQ set per run).  The
+dominant web-scale production shape is different: a crawl snapshot B
+arrives and must be deduplicated against the already-ingested corpus C,
+where C is ~1000x B.  Re-running the batch pipeline over C+B costs
+O((C+B)^2 / buckets); the incremental question is O(C*B / buckets), and —
+crucially — C's expensive work (signature computation, exact collapse)
+must be paid ONCE at ingest, not once per snapshot.
+
+`DedupIndex` persists exactly the state the batch pipeline keeps resident
+(the unique-text signature table — the analog of the reference's trie,
+SURVEY.md §1.2) as a parquet table:
+
+  <root>/_index.json   {config_hash, num_perm, scheme, batches: [...]}
+  <root>/uniq/         parquet (text_hash, doc_id, minhash), append-only
+
+One scan of `uniq` feeds all three uses per batch (persist once):
+the exact-tier anti-join key set (text_hash), the banded LSH buckets
+(derived — bands are xxhash64 over signature slices, JVM-cheap relative
+to the scan), and the verify-side signatures.  At real scale the uniq
+table would be written bucketed by text_hash so the anti-join is a
+storage-partitioned join (no shuffle of the huge index side) and the
+band table could be materialized as a secondary index at ingest; both
+are local changes to `_write`/`dedup_batch`, the dataflow is identical.
+
+Stale-reuse safety mirrors sources/io.py: the manifest pins
+cfg.config_hash() — loading or appending with ANY other config raises
+(a changed shingle_k silently mixing signature spaces is the incremental
+analog of reusing a stale checkpoint).  Batch ids are recorded append-only;
+re-appending a batch id raises rather than double-ingesting.
+
+Within-batch near-dup clustering is deliberately NOT folded in here: run
+the batch through `run_web_pipeline` first (its exact collapse, LSH and CC
+machinery are unchanged), then `dedup_batch` the representatives against
+the index.  `dedup_batch` does collapse exact dups within the batch — that
+is free on the way to signatures and keeps `survivors` one-row-per-text.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from humid_spark.config import DedupConfig
+from humid_spark.functions.signatures import est_jaccard, minhash_map_in_arrow
+from humid_spark.operators import lsh
+from humid_spark.operators.incremental import (
+    cross_band_pairs,
+    demoted_cross_buckets,
+)
+
+
+@dataclass
+class IncrementalResult:
+    batch_uniq: DataFrame   # text_hash, count, doc_id(=min), minhash (in-batch collapse)
+    exact_hits: DataFrame   # batch rows whose text already exists in the index
+    near_pairs: DataFrame   # (src=batch doc_id, dst=index doc_id, est_jaccard)
+    survivors: DataFrame    # batch uniq rows that are NEW content vs the index
+    demoted: DataFrame      # capped index-side (band, bucket) lineage
+    persisted: list = field(default_factory=list)
+
+    def release(self) -> None:
+        """Unpersist the per-batch cached intermediates (the index scan and
+        the pruned cross-join membership).  Lineage survives — later
+        actions recompute instead of failing."""
+        for df in self.persisted:
+            df.unpersist()
+
+
+class DedupIndex:
+    """Persistent batch-vs-index dedup state.  Construct via `build` (first
+    ingest) or `load` (existing index); both verify the config hash."""
+
+    def __init__(self, root: str, cfg: DedupConfig, manifest: dict):
+        self.root = root
+        self.cfg = cfg
+        self.manifest = manifest
+
+    # ---- lifecycle -------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls, pages: DataFrame, cfg: DedupConfig, root: str,
+        batch_id: str = "initial",
+    ) -> "DedupIndex":
+        """Bootstrap an index from the initial corpus: exact-collapse +
+        signatures (the same two stages run_web_pipeline pays), written
+        once."""
+        if os.path.exists(cls._manifest_path(root)):
+            raise ValueError(f"index already exists at {root}; use load()")
+        uniq = cls._uniq_of(pages, cfg)
+        os.makedirs(root, exist_ok=True)
+        uniq.write.mode("overwrite").parquet(cls._uniq_dir(root))
+        manifest = {
+            "config_hash": cfg.config_hash(),
+            "num_perm": cfg.num_perm,
+            "scheme": cfg.minhash_scheme,
+            "batches": [batch_id],
+            "created_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+        }
+        with open(cls._manifest_path(root), "w") as f:
+            json.dump(manifest, f, indent=1)
+        return cls(root, cfg, manifest)
+
+    @classmethod
+    def load(cls, root: str, cfg: DedupConfig) -> "DedupIndex":
+        with open(cls._manifest_path(root)) as f:
+            manifest = json.load(f)
+        if manifest["config_hash"] != cfg.config_hash():
+            raise ValueError(
+                "config mismatch: index was built with config_hash="
+                f"{manifest['config_hash']}, got {cfg.config_hash()} — "
+                "signature spaces are incompatible; rebuild the index"
+            )
+        return cls(root, cfg, manifest)
+
+    # ---- per-snapshot dedup ---------------------------------------------
+
+    def dedup_batch(self, pages: DataFrame) -> IncrementalResult:
+        """Classify a new snapshot against the index.
+
+        exact tier: anti-join on text_hash (the index contributes ONLY its
+        text_hash column to the exchange).  near tier: asymmetric band
+        join (operators/incremental.cross_band_pairs — one-sided caps and
+        salting on the index side) + signature verify at
+        cfg.jaccard_threshold.  survivors = batch uniques that passed both
+        tiers; feed them to `append` to ingest."""
+        from pyspark import StorageLevel
+
+        spark = pages.sparkSession
+        persisted: list = []
+        index = self.uniq(spark).persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(index)
+
+        batch_uniq = self._uniq_of(pages, self.cfg, count=True).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        persisted.append(batch_uniq)
+
+        exact_hits = batch_uniq.join(
+            index.select("text_hash"), "text_hash", "semi"
+        ).select("text_hash", "doc_id", "count")
+        fresh = batch_uniq.join(
+            index.select("text_hash"), "text_hash", "anti"
+        )
+
+        bsig = fresh.select("doc_id", "minhash")
+        isig = index.select("doc_id", "minhash")
+        ibuckets = lsh.band_buckets(isig, self.cfg)
+        cand = cross_band_pairs(
+            lsh.band_buckets(bsig, self.cfg),
+            ibuckets,
+            bucket_cap=self.cfg.bucket_cap,
+            salts=self.cfg.lsh_salts,
+            track=persisted,
+        )
+        near_pairs = (
+            cand.join(
+                bsig.select(
+                    F.col("doc_id").alias("src"),
+                    F.col("minhash").alias("sig_a"),
+                ),
+                "src",
+            )
+            .join(
+                isig.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("minhash").alias("sig_b"),
+                ),
+                "dst",
+            )
+            .withColumn(
+                "est_jaccard", est_jaccard(F.col("sig_a"), F.col("sig_b"))
+            )
+            .filter(
+                F.col("est_jaccard") >= F.lit(self.cfg.jaccard_threshold)
+            )
+            .select("src", "dst", "est_jaccard")
+        )
+        survivors = fresh.join(
+            near_pairs.select(F.col("src").alias("doc_id")).distinct(),
+            "doc_id",
+            "anti",
+        )
+        return IncrementalResult(
+            batch_uniq=batch_uniq,
+            exact_hits=exact_hits,
+            near_pairs=near_pairs,
+            survivors=survivors,
+            demoted=demoted_cross_buckets(
+                ibuckets, bucket_cap=self.cfg.bucket_cap
+            ),
+            persisted=persisted,
+        )
+
+    def append(self, survivors: DataFrame, batch_id: str) -> None:
+        """Ingest a batch's surviving uniques: parquet APPEND (new files
+        only — the existing index is never rewritten), then the manifest
+        records the batch id.  Duplicate batch ids raise — re-ingesting a
+        snapshot would silently double the index."""
+        if batch_id in self.manifest["batches"]:
+            raise ValueError(f"batch {batch_id!r} already ingested")
+        survivors.select("text_hash", "doc_id", "minhash").write.mode(
+            "append"
+        ).parquet(self._uniq_dir(self.root))
+        self.manifest["batches"].append(batch_id)
+        with open(self._manifest_path(self.root), "w") as f:
+            json.dump(self.manifest, f, indent=1)
+
+    def uniq(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._uniq_dir(self.root)).select(
+            "text_hash", "doc_id", "minhash"
+        )
+
+    # ---- internals -------------------------------------------------------
+
+    @staticmethod
+    def _manifest_path(root: str) -> str:
+        return os.path.join(root, "_index.json")
+
+    @staticmethod
+    def _uniq_dir(root: str) -> str:
+        return os.path.join(root, "uniq")
+
+    @staticmethod
+    def _uniq_of(
+        pages: DataFrame, cfg: DedupConfig, count: bool = False
+    ) -> DataFrame:
+        """pages -> (text_hash, doc_id=min over exact copies, minhash
+        [, count]): the same signatures-at-the-scan + exact-collapse shape
+        as run_web_pipeline (webdedup.py) — text never enters a shuffle."""
+        min_len = max(cfg.shingle_k, 1)
+        usable = (
+            pages.withColumn("doc_id", F.xxhash64(F.col("url")))
+            .filter(
+                F.col("text").isNotNull()
+                & (F.length("text") >= min_len)
+            )
+            .withColumn("text_hash", F.xxhash64(F.col("text")))
+        )
+        sigs = minhash_map_in_arrow(
+            usable, cfg.shingle_k, cfg.num_perm,
+            scheme=cfg.minhash_scheme, passthrough=("text_hash",),
+        )
+        aggs = [
+            F.min("doc_id").alias("doc_id"),
+            # exact within a text_hash group: all texts byte-identical,
+            # so every candidate minhash is identical
+            F.first("minhash").alias("minhash"),
+        ]
+        if count:
+            aggs.insert(0, F.count(F.lit(1)).alias("count"))
+        return sigs.groupBy("text_hash").agg(*aggs)

@@ -185,7 +185,13 @@ class DedupIndex:
                 F.col("est_jaccard") >= F.lit(self.cfg.jaccard_threshold)
             )
             .select("src", "dst", "est_jaccard")
+            # pair-sized (post-verify) and read at least twice: once by the
+            # survivors anti-join, once by the caller acting on near_pairs —
+            # without the persist the band join + verify chain re-runs per
+            # action (measured 19.3s -> ~7s for the sf0.01 bench headline)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        persisted.append(near_pairs)
         survivors = fresh.join(
             near_pairs.select(F.col("src").alias("doc_id")).distinct(),
             "doc_id",

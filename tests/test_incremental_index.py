@@ -92,6 +92,19 @@ def test_batch_classification_and_append_convergence(index, spark):
     ] == ["initial", "b"]
 
 
+def test_batch_plans_are_equi_join_shaped(index, spark):
+    """The incremental tier must never degrade to a cross join: the exact
+    tier is a hash anti-join, the near tier an equi-join on
+    (band, bucket[, salt]) — same hygiene bar as the driver contract."""
+    batch = _pages(spark, [("http://c/x", BASE + " tail"), ("http://c/y", OTHER)])
+    res = index.dedup_batch(batch)
+    for df in (res.survivors, res.near_pairs, res.exact_hits, res.demoted):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+    res.release()
+
+
 def test_empty_batch_flows(index, spark):
     res = index.dedup_batch(_pages(spark, []))
     assert res.survivors.count() == 0

@@ -658,6 +658,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["incremental_near_dups"] = incr_near
 
+    def stream_incr(s, d):
+        """REAL Structured-Streaming ingest over a persistent DedupIndex:
+        two micro-batch files drain through stream_ingest's foreachBatch
+        loop (classify -> write survivors -> append to the index), so
+        batch 1 deduplicates against what batch 0 ingested.  The near
+        tier is disabled (jaccard_threshold > 1) so the run is exactly
+        the fingerprint tier — text-equality semantics DuckDB replays
+        verbatim (the near tier is hash-checked by incremental_near_dups;
+        xxhash64 ids are unreplayable, so survivors map back to
+        min(original doc_id) per surviving text group).  Plants: index
+        docs (%10==2) re-enter in batch 0; batch-0 docs (%10==1) re-enter
+        in batch 1 — the latter are dropped ONLY if batch 0's append took
+        effect."""
+        import os
+        import tempfile
+
+        from humid_spark.config import DedupConfig
+        from humid_spark.plans.incremental import DedupIndex
+        from humid_spark.streaming.incremental import stream_ingest
+
+        docs = _t(s, d, "documents").filter(
+            F.col("text").isNotNull() & (F.length("text") >= 5)
+        )
+        idx_docs = docs.filter(F.col("doc_id") % 3 == 2)
+        b0 = (
+            docs.filter(F.col("doc_id") % 3 == 1)
+            .select("doc_id", "text")
+            .unionByName(
+                idx_docs.filter(F.col("doc_id") % 10 == 2).select(
+                    (-F.col("doc_id") - 1).alias("doc_id"), "text"
+                )
+            )
+        )
+        b1 = (
+            docs.filter(F.col("doc_id") % 3 == 0)
+            .select("doc_id", "text")
+            .unionByName(
+                docs.filter(
+                    (F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 10 == 1)
+                ).select((-F.col("doc_id") - 1).alias("doc_id"), "text")
+            )
+        )
+
+        def pagify(df):
+            return df.select(
+                F.concat(
+                    F.lit("doc://"), F.col("doc_id").cast("string")
+                ).alias("url"),
+                F.timestamp_seconds(F.lit(1767225600)).alias("warc_ts"),
+                F.lit(None).cast("binary").alias("html"),
+                "text",
+                F.lit("en").alias("lang"),
+            )
+
+        tmp = tempfile.mkdtemp(prefix="incr_stream_")
+        cfg = DedupConfig(jaccard_threshold=1.01)  # exact tier only
+        index = DedupIndex.build(pagify(idx_docs), cfg, f"{tmp}/idx")
+        pagify(b0).coalesce(1).write.parquet(f"{tmp}/src/f0")
+        pagify(b1).coalesce(1).write.parquet(f"{tmp}/src/f1")
+        # pin micro-batch order: the file source processes oldest-first
+        for i, sub in enumerate(("f0", "f1")):
+            base = f"{tmp}/src/{sub}"
+            for fn in os.listdir(base):
+                os.utime(os.path.join(base, fn), (1700000000 + i * 60,) * 2)
+        stream = (
+            s.readStream.schema(pagify(b0).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src/f*")
+        )
+        qy = (
+            stream_ingest(stream, index, f"{tmp}/out", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination(300)
+
+        outs = []
+        for bi, src in ((0, b0), (1, b1)):
+            sv = s.read.parquet(f"{tmp}/out/batch_id={bi}/survivors").select(
+                "text_hash"
+            )
+            outs.append(
+                src.withColumn("th", F.xxhash64("text"))
+                .join(sv, F.col("th") == F.col("text_hash"))
+                .groupBy("text_hash")
+                .agg(F.min("doc_id").alias("keep_id"))
+                .select(F.lit(bi).cast("long").alias("batch"), "keep_id")
+            )
+        return outs[0].unionByName(outs[1])
+
+    q["streaming_incremental_ingest"] = stream_incr
+
     # --- text analytics ---
     def text_stats(s, d):
         from humid_spark.functions import textstats as ts
@@ -1731,6 +1823,30 @@ def oracle_sql() -> dict[str, str]:
         WHERE (1000 * len(list_intersect(x.sh, y.sh)))
                 // len(list_distinct(list_concat(x.sh, y.sh)))
                 >= {FUNNEL_THRESH}
+    """
+
+    # streaming_incremental_ingest: the exact tier is text-equality, so
+    # the two-micro-batch ingest replays as set algebra — batch-1
+    # survivors exclude BOTH the index and every batch-0 text (batch 0's
+    # survivors were appended; its non-survivors were in the index
+    # already).
+    o["streaming_incremental_ingest"] = """
+        WITH d AS (SELECT doc_id, text FROM documents
+                   WHERE text IS NOT NULL AND length(text) >= 5),
+        idx AS (SELECT doc_id, text FROM d WHERE doc_id % 3 = 2),
+        b0 AS (SELECT doc_id, text FROM d WHERE doc_id % 3 = 1
+               UNION ALL
+               SELECT -doc_id - 1, text FROM idx WHERE doc_id % 10 = 2),
+        b1 AS (SELECT doc_id, text FROM d WHERE doc_id % 3 = 0
+               UNION ALL
+               SELECT -doc_id - 1, text FROM d
+               WHERE doc_id % 3 = 1 AND doc_id % 10 = 1)
+        SELECT CAST(0 AS BIGINT) AS batch, min(doc_id) AS keep_id FROM b0
+        WHERE text NOT IN (SELECT text FROM idx) GROUP BY text
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), min(doc_id) FROM b1
+        WHERE text NOT IN (SELECT text FROM idx)
+          AND text NOT IN (SELECT text FROM b0) GROUP BY text
     """
 
     o["pricing_summary"] = (

@@ -222,6 +222,12 @@ class DedupIndex:
         with open(self._manifest_path(self.root), "w") as f:
             json.dump(self.manifest, f, indent=1)
 
+    def has_batch(self, batch_id: str) -> bool:
+        """True when the manifest already records `batch_id` — the
+        idempotence probe streaming replays use to skip re-ingest
+        (streaming/incremental.py)."""
+        return batch_id in self.manifest["batches"]
+
     def uniq(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self._uniq_dir(self.root)).select(
             "text_hash", "doc_id", "minhash"

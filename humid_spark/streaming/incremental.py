@@ -1,0 +1,76 @@
+"""Streaming ingestion over the persistent DedupIndex: continuous crawl
+snapshots classified and ingested per micro-batch.
+
+`plans/incremental.DedupIndex` answers "dedup snapshot N+1 against the
+corpus" as a batch call; this module is the Structured-Streaming driver for
+it — pages arrive as a stream (file source in tests, Kafka/queue in
+production), each micro-batch is classified against the index
+(exact anti-join / near band-join / fresh), survivors are written to the
+output sink AND appended to the index, so batch N+2 deduplicates against
+everything batch N+1 brought in.
+
+Why `foreachBatch` and not a stateful operator: the index is corpus-sized
+(the state-store's per-key model would hold |corpus| fingerprints AND
+signatures in executor state), already persisted as parquet, and shared
+with batch jobs.  foreachBatch gives each micro-batch the full DataFrame
+plan surface (anti-join + band join against the parquet index) while
+keeping streaming semantics — the canonical Spark pattern for
+stream-vs-large-table joins with side effects.
+
+Exactly-once: foreachBatch may REPLAY a micro-batch after a failure (its
+side effects are at-least-once; only the sink bookkeeping is
+transactional).  Both side effects here are made idempotent per
+`batch_id`:
+- the survivors sink writes to `<out>/batch_id=<id>/` with mode
+  "overwrite" — a replay rewrites the same files;
+- the index append is SKIPPED when the manifest already records the
+  batch id (`DedupIndex.has_batch`) — the guard that raises in the batch
+  API (double-ingest is a bug there) downgrades to the documented
+  skip-on-replay here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from humid_spark.plans.incremental import DedupIndex
+
+
+def stream_ingest(
+    pages_stream: DataFrame,
+    index: DedupIndex,
+    out_dir: str,
+    checkpoint_dir: str,
+    batch_prefix: str = "stream",
+):
+    """Wire a pages stream into the index.  Returns the DataStreamWriter —
+    call .start() (or .trigger(availableNow=True).start() to drain) on it.
+
+    Per micro-batch: classify vs the CURRENT index, write survivors
+    (url, text_hash, doc_id) to `<out_dir>/batch_id=<id>/`, append them to
+    the index.  near-pair lineage lands beside the survivors so a
+    downstream clustering job can consume the edges without recomputing
+    the band join."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        bid = f"{batch_prefix}-{batch_id}"
+        if index.has_batch(bid):  # replay after failure: already ingested
+            return
+        res = index.dedup_batch(batch_df)
+        base = os.path.join(out_dir, f"batch_id={batch_id}")
+        res.survivors.write.mode("overwrite").parquet(
+            os.path.join(base, "survivors")
+        )
+        res.near_pairs.write.mode("overwrite").parquet(
+            os.path.join(base, "near_pairs")
+        )
+        index.append(res.survivors, bid)
+        res.release()
+
+    return (
+        pages_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

@@ -49,9 +49,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-l", "--log", default=None,
                    help="log file name (reference -l; default stderr)")
     # engine-mode flags (no reference equivalent)
-    p.add_argument("--mode", choices=["parity", "web"], default="parity",
+    p.add_argument("--mode", choices=["parity", "web", "incremental"],
+                   default="parity",
                    help="parity: reference key semantics (Hamming/edit "
-                        "neighbour join); web: MinHash/LSH near-dup engine")
+                        "neighbour join); web: MinHash/LSH near-dup engine; "
+                        "incremental: dedup the input batch against a "
+                        "persistent --index-dir (builds it on first run)")
+    p.add_argument("--index-dir", default=None,
+                   help="incremental mode: the persistent DedupIndex "
+                        "directory")
     p.add_argument("--scheme", choices=["kperm", "oph"], default=None,
                    help="MinHash scheme (web mode; default from config)")
     p.add_argument("--containment", action="store_true",
@@ -112,7 +118,49 @@ def main(argv: list[str] | None = None) -> None:
             if args.checkpoint_dir else None
         )
 
-        if args.mode == "web":
+        if args.mode == "incremental":
+            if not args.index_dir:
+                raise SystemExit("--mode incremental requires --index-dir")
+            import os
+
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            from humid_spark.plans.incremental import DedupIndex
+
+            if not os.path.exists(
+                DedupIndex._manifest_path(args.index_dir)
+            ):
+                idx = DedupIndex.build(pages, cfg, args.index_dir)
+                out = {"built": True,
+                       "index_rows": idx.uniq(spark).count()}
+            else:
+                idx = DedupIndex.load(args.index_dir, cfg)
+                batch_id = input_snapshot_of(args.files)
+                if idx.has_batch(batch_id):
+                    # replay of an already-ingested input: idempotent no-op
+                    out = {"already_ingested": True, "batch_id": batch_id}
+                else:
+                    res = idx.dedup_batch(pages)
+                    obs = Observation()
+                    (res.survivors
+                     .observe(obs, F.count(F.lit(1)).alias("rows"))
+                     .write.mode("overwrite")
+                     .parquet(f"{args.out_dir}/survivors"))
+                    res.near_pairs.write.mode("overwrite").parquet(
+                        f"{args.out_dir}/near_pairs")
+                    out = {"batch_id": batch_id,
+                           "survivors": int(obs.get["rows"])}
+                    if cfg.write_stats:
+                        out["exact_hits"] = res.exact_hits.count()
+                        out["near_pairs"] = res.near_pairs.count()
+                        out["demoted_buckets"] = res.demoted.count()
+                    idx.append(
+                        spark.read.parquet(f"{args.out_dir}/survivors"),
+                        batch_id,
+                    )
+                    res.release()
+        elif args.mode == "web":
             from pyspark.sql import Observation
             from pyspark.sql import functions as F
 

@@ -120,3 +120,50 @@ def test_cli_web_containment_flag(spark, tmp_path):
         summary = json.loads(f.read().strip().splitlines()[-1])
     assert "demoted_buckets" in summary["outputs"]
     assert "demoted_fingerprints" in summary["outputs"]
+
+
+def test_cli_incremental_mode_build_apply_replay(spark, tmp_path):
+    """--mode incremental: first run bootstraps the index from the input,
+    second run (new input) classifies + appends, third run (same input)
+    is an idempotent replay no-op."""
+    from humid_spark.sources.pages import fx_webtext, to_spark
+
+    rows = fx_webtext(n_seeds=25)
+    corpus_src = str(tmp_path / "corpus")
+    batch_src = str(tmp_path / "batch")
+    to_spark(spark, rows[0::2]).write.parquet(corpus_src)
+    to_spark(spark, rows[1::2]).write.parquet(batch_src)
+    idx_dir, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    log = str(tmp_path / "run.log")
+
+    env = dict(os.environ, PYTHONPATH=ROOT)
+
+    def run(src):
+        res = subprocess.run(
+            [sys.executable, "-m", "humid_spark", "--mode", "incremental",
+             "--index-dir", idx_dir, "-s", "-l", log, "--cores", "4",
+             "-d", out, src],
+            cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=300,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        with open(log) as f:
+            return json.loads(f.read().strip().splitlines()[-1])
+
+    s1 = run(corpus_src)
+    assert s1["outputs"]["built"] is True
+    assert s1["outputs"]["index_rows"] > 0
+
+    s2 = run(batch_src)
+    o = s2["outputs"]
+    assert o["survivors"] > 0 and o["near_pairs"] > 0
+    written = spark.read.parquet(os.path.join(out, "survivors"))
+    assert written.count() == o["survivors"]
+    # appended: the index manifest records the batch
+    with open(os.path.join(idx_dir, "_index.json")) as f:
+        man = json.load(f)
+    assert o["batch_id"] in man["batches"]
+
+    s3 = run(batch_src)  # same input again -> replay no-op
+    assert s3["outputs"] == {"already_ingested": True,
+                             "batch_id": o["batch_id"]}

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Incremental-vs-full A/B: the measured case for the DedupIndex design.
+
+Question: a corpus C (1M pages, BENCH/data/pages_bench_1m) is already
+deduplicated; a snapshot B (~100k pages sampled from pages_bench_3m by
+xxhash64(url) % 30 == 7 — a mix of already-seen and new content, like a
+re-crawl) arrives.  What does it cost to
+
+  full      re-run the whole web pipeline over C UNION B (what the
+            batch-only reference forces — src/humid.cc:443-452 re-reads
+            everything per run), vs
+  ingest    build the persistent DedupIndex from C ONCE (amortized over
+            every future snapshot), plus
+  classify  dedup_batch(B) against the index (the recurring per-snapshot
+            cost).
+
+Each measurement runs in its own subprocess (fresh JVM, local[8], kperm,
+12g driver — the scaling-protocol config) in one host window, back to
+back, so window decay cancels to first order.  Output:
+BENCH/incremental_ab.json.  No host hygiene (see _host_hygiene's caveat:
+cache drops collapse full-JVM runs on this VM).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+CORPUS = os.path.join(HERE, "data", "pages_bench_1m")
+BATCH_SRC = os.path.join(HERE, "data", "pages_bench_3m")
+IDX = os.path.join(HERE, "data", "incr_ab_idx")
+BATCH_MOD = 30
+BATCH_REM = 7
+
+
+def _batch(spark):
+    from pyspark.sql import functions as F
+
+    # a third of the snapshot carries CONTENT DRIFT (a short appended
+    # tail): re-crawled pages whose boilerplate shifted — they miss the
+    # exact tier but near-match their corpus originals, so the verify
+    # stage does real work (without this, the sampled rows are either
+    # byte-identical to the corpus or entirely new, and near_pairs == 0)
+    return (
+        spark.read.parquet(BATCH_SRC)
+        .filter(F.pmod(F.xxhash64("url"), F.lit(BATCH_MOD)) == BATCH_REM)
+        .withColumn(
+            "text",
+            # independent hash (salted with a literal): the sampling
+            # filter fixes xxhash64(url) % 30 == 7, and 30 is a multiple
+            # of 3, so reusing the same hash mod 3 would never fire
+            F.when(
+                F.pmod(F.xxhash64(F.col("url"), F.lit(7)), F.lit(3)) == 0,
+                F.concat(F.col("text"), F.lit(" updated edition")),
+            ).otherwise(F.col("text")),
+        )
+    )
+
+
+def run_child(mode: str) -> None:
+    from pyspark.sql import functions as F
+
+    from humid_spark.config import DedupConfig
+    from humid_spark.session import get_spark
+
+    cfg = DedupConfig(minhash_scheme="kperm")
+    spark = get_spark(f"incr-ab-{mode}", cores=8, shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = None
+    t0 = time.perf_counter()
+    if mode == "full":
+        from humid_spark.plans.webdedup import run_web_pipeline
+
+        pages = spark.read.parquet(CORPUS).unionByName(_batch(spark))
+        res = run_web_pipeline(pages, cfg)
+        res.annotated.write.format("noop").mode("overwrite").save()
+        res.release()
+    elif mode == "ingest":
+        import shutil
+
+        from humid_spark.plans.incremental import DedupIndex
+
+        shutil.rmtree(IDX, ignore_errors=True)
+        DedupIndex.build(spark.read.parquet(CORPUS), cfg, IDX)
+    elif mode == "classify":
+        from humid_spark.plans.incremental import DedupIndex
+
+        idx = DedupIndex.load(IDX, cfg)
+        res = idx.dedup_batch(_batch(spark))
+        res.survivors.write.format("noop").mode("overwrite").save()
+        res.near_pairs.write.format("noop").mode("overwrite").save()
+        rows = {
+            "batch": _batch(spark).count(),
+            "survivors": res.survivors.count(),
+            "near_pairs": res.near_pairs.count(),
+        }
+        res.release()
+    elapsed = round(time.perf_counter() - t0, 2)
+    out = {"mode": mode, "elapsed_sec": elapsed}
+    if rows:
+        out.update(rows)
+    print(json.dumps(out))
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", default=None)
+    args = ap.parse_args()
+    if args.child:
+        run_child(args.child)
+        return
+
+    results = {}
+    for mode in ("ingest", "classify", "full"):
+        env = dict(os.environ, SPARK_DRIVER_MEM="12g")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", mode],
+            env=env, capture_output=True, text=True, timeout=7200,
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        results[mode] = (
+            json.loads(line[-1]) if line
+            else {"error": r.stdout[-500:] + r.stderr[-500:]}
+        )
+        print(mode, "->", results[mode], flush=True)
+
+    try:
+        with open("/proc/uptime") as f:
+            uptime_h = round(float(f.read().split()[0]) / 3600, 2)
+    except OSError:
+        uptime_h = None
+    full, cls = results["full"], results["classify"]
+    summary = {
+        "protocol": "local[8] kperm 12g, fresh JVM per mode, one window, "
+                    "no hygiene",
+        "corpus_rows": 1_000_000,
+        "results": results,
+        "speedup_classify_vs_full": (
+            round(full["elapsed_sec"] / cls["elapsed_sec"], 2)
+            if "elapsed_sec" in full and "elapsed_sec" in cls else None
+        ),
+        "uptime_h": uptime_h,
+    }
+    with open(os.path.join(HERE, "incremental_ab.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

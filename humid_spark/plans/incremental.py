@@ -16,14 +16,25 @@ SURVEY.md §1.2) as a parquet table:
   <root>/_index.json   {config_hash, num_perm, scheme, batches: [...]}
   <root>/uniq/         parquet (text_hash, doc_id, minhash), append-only
 
-One scan of `uniq` feeds all three uses per batch (persist once):
-the exact-tier anti-join key set (text_hash), the banded LSH buckets
-(derived — bands are xxhash64 over signature slices, JVM-cheap relative
-to the scan), and the verify-side signatures.  At real scale the uniq
-table would be written bucketed by text_hash so the anti-join is a
-storage-partitioned join (no shuffle of the huge index side) and the
-band table could be materialized as a secondary index at ingest; both
-are local changes to `_write`/`dedup_batch`, the dataflow is identical.
+  <root>/bands/        parquet (doc_id, band, bucket), the secondary index
+
+The three per-batch uses each scan ONLY the columns they need — parquet
+column pruning does the work, nothing index-sized is ever cached:
+the exact tier reads the text_hash column alone (~1/70th of the table —
+the minhash arrays dominate the bytes), the near tier reads the
+materialized band table (written at ingest/append, so the 16x explode +
+bucket hashing is paid once per document ever, not once per snapshot),
+and the verify step reads (doc_id, minhash) into an equi-join whose
+other side is the (small) candidate set — AQE broadcasts the candidates,
+the index side never shuffles.  At real scale the uniq table would
+additionally be written bucketed by text_hash so the exact anti-join is
+storage-partitioned (no shuffle of the huge index side); a local change
+to `_write`, the dataflow is identical.  Measured (1M-corpus / 100k-batch
+A/B, BENCH/incremental_ab.py): the materialized band table cut the
+per-snapshot classify ~10% at 1M (93.1s -> 83.6s) — the bigger effect is
+structural: without it the near tier re-derives bands from the minhash
+column (the dominant index bytes) every snapshot; with it that column is
+read once, by the verify join.
 
 Stale-reuse safety mirrors sources/io.py: the manifest pins
 cfg.config_hash() — loading or appending with ANY other config raises
@@ -98,6 +109,10 @@ class DedupIndex:
         uniq = cls._uniq_of(pages, cfg)
         os.makedirs(root, exist_ok=True)
         uniq.write.mode("overwrite").parquet(cls._uniq_dir(root))
+        spark = pages.sparkSession
+        lsh.band_buckets(
+            spark.read.parquet(cls._uniq_dir(root)), cfg
+        ).write.mode("overwrite").parquet(cls._bands_dir(root))
         manifest = {
             "config_hash": cfg.config_hash(),
             "num_perm": cfg.num_perm,
@@ -138,8 +153,12 @@ class DedupIndex:
 
         spark = pages.sparkSession
         persisted: list = []
-        index = self.uniq(spark).persist(StorageLevel.MEMORY_AND_DISK)
-        persisted.append(index)
+        # the index is NEVER cached whole: each tier scans only its
+        # columns (text_hash alone for the exact tier; the materialized
+        # band table; (doc_id, minhash) for the verify join) — at corpus
+        # scale the pruned scans are cheaper than materializing the
+        # signature arrays, and the memory footprint stays batch-sized
+        index = self.uniq(spark)
 
         batch_uniq = self._uniq_of(pages, self.cfg, count=True).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -155,7 +174,7 @@ class DedupIndex:
 
         bsig = fresh.select("doc_id", "minhash")
         isig = index.select("doc_id", "minhash")
-        ibuckets = lsh.band_buckets(isig, self.cfg)
+        ibuckets = self.bands(spark)
         cand = cross_band_pairs(
             lsh.band_buckets(bsig, self.cfg),
             ibuckets,
@@ -215,9 +234,26 @@ class DedupIndex:
         snapshot would silently double the index."""
         if batch_id in self.manifest["batches"]:
             raise ValueError(f"batch {batch_id!r} already ingested")
-        survivors.select("text_hash", "doc_id", "minhash").write.mode(
-            "append"
-        ).parquet(self._uniq_dir(self.root))
+        # MATERIALIZE before writing: a dedup_batch survivors plan READS
+        # the index files this method appends to — re-evaluating it after
+        # the first write would anti-join the survivors against
+        # themselves (uniq appended first: bands write sees zero rows;
+        # bands first: uniq write sees each survivor as its own near-dup).
+        # localCheckpoint truncates that lineage; the blocks are freed
+        # once both writes land.
+        from humid_spark.operators.cc import CheckpointHandle
+
+        rows = (
+            survivors.select("text_hash", "doc_id", "minhash")
+            .localCheckpoint(eager=True)
+        )
+        try:
+            rows.write.mode("append").parquet(self._uniq_dir(self.root))
+            lsh.band_buckets(rows, self.cfg).write.mode("append").parquet(
+                self._bands_dir(self.root)
+            )
+        finally:
+            CheckpointHandle(rows).unpersist()
         self.manifest["batches"].append(batch_id)
         with open(self._manifest_path(self.root), "w") as f:
             json.dump(self.manifest, f, indent=1)
@@ -233,6 +269,14 @@ class DedupIndex:
             "text_hash", "doc_id", "minhash"
         )
 
+    def bands(self, spark: SparkSession) -> DataFrame:
+        """The (doc_id, band, bucket) secondary index; derived on the fly
+        for pre-band-table indexes (back-compat)."""
+        d = self._bands_dir(self.root)
+        if os.path.exists(d):
+            return spark.read.parquet(d)
+        return lsh.band_buckets(self.uniq(spark), self.cfg)
+
     # ---- internals -------------------------------------------------------
 
     @staticmethod
@@ -242,6 +286,10 @@ class DedupIndex:
     @staticmethod
     def _uniq_dir(root: str) -> str:
         return os.path.join(root, "uniq")
+
+    @staticmethod
+    def _bands_dir(root: str) -> str:
+        return os.path.join(root, "bands")
 
     @staticmethod
     def _uniq_of(

@@ -78,6 +78,12 @@ def test_batch_classification_and_append_convergence(index, spark):
 
     index.append(res.survivors, "b")
     res.release()
+    # the appended rows land in BOTH files, bands included — pins the
+    # lazy self-reference trap (append() re-evaluating survivors after
+    # the uniq write would anti-join them against themselves and append
+    # zero band rows)
+    n_uniq = index.uniq(spark).count()
+    assert index.bands(spark).count() == n_uniq * DedupConfig().lsh_bands
     with pytest.raises(ValueError, match="already ingested"):
         index.append(res.survivors, "b")
 
@@ -102,6 +108,34 @@ def test_batch_plans_are_equi_join_shaped(index, spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
+    res.release()
+
+
+def test_index_scans_are_column_pruned(index, spark):
+    """The index is never scanned whole: the exact tier reads text_hash
+    alone, the near tier reads the materialized band table, and the
+    signature arrays (the bytes that dominate the index) are read by
+    exactly ONE scan — the verify join."""
+    import re
+
+    batch = _pages(spark, [("http://d/x", BASE + " v2"), ("http://d/y", OTHER)])
+    res = index.dedup_batch(batch)
+    plan = res.survivors._jdf.queryExecution().executedPlan().toString()
+    # location strings are truncated in plan dumps, so classify parquet
+    # scans by their read schema (uniq: text_hash/minhash; bands: band)
+    scans = [
+        m.group(1)
+        for m in re.finditer(
+            r"FileScan parquet [^\n]*?ReadSchema: struct<([^\n]*)", plan)
+    ]
+    assert scans, "no parquet scans found in the survivors plan"
+    sig_scans = [s for s in scans if "minhash" in s]
+    assert len(sig_scans) == 1
+    assert sig_scans[0].startswith("doc_id:bigint,minhash:array<int")
+    assert any(s.startswith("text_hash:bigint") for s in scans)  # exact tier
+    assert any("band:int" in s for s in scans)         # secondary index
+    # nothing ever reads the full uniq row (text_hash AND minhash together)
+    assert not [s for s in scans if "text_hash" in s and "minhash" in s]
     res.release()
 
 

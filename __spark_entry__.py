@@ -1011,6 +1011,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_near_dups_wide"] = emb_near_dups_wide
 
+    def emb_incremental(s, d):
+        """Incremental tier for EMBEDDINGS: a batch of vectors
+        (vec_id % 3 == 0, plus perturbed re-entries of index vectors)
+        deduplicates against the already-ingested index (vec_id % 3 != 0)
+        — integer SimHash signatures, the asymmetric cross_band_pairs
+        join (one-sided index caps/salting), hamming <= 3 over 4 four-bit
+        bands (pigeonhole-exhaustive, so the brute-force batch-x-index
+        SQL is the exact pair set), exact-cosine verify at 0.99."""
+        from humid_spark.functions.signatures import hamming64
+        from humid_spark.operators.ann import _norm, dot_double
+        from humid_spark.operators.embdedup import embedding_simhash_udf
+        from humid_spark.operators.incremental import cross_band_pairs
+
+        emb = _t(s, d, "embeddings")
+        dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        base = emb.select("vec_id", dbl.alias("v"))
+        pert = emb.filter(
+            (F.col("vec_id") % 3 != 0) & (F.col("vec_id") % 10 == 1)
+        ).select(
+            (-F.col("vec_id") - 1).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x.cast("double")
+                * F.when(i % 7 == 0, F.lit(1.08)).otherwise(F.lit(1.0)),
+            ).alias("v"),
+        )
+        corpus = base.unionByName(pert)
+        bits, n_bands, max_bits = 16, 4, 3
+        sigs = corpus.select(
+            "vec_id", "v",
+            embedding_simhash_udf(bits, 1)(F.col("v")).alias("esig"),
+        ).localCheckpoint(eager=True)
+        width = bits // n_bands
+
+        def bands_of(df):
+            arr = F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("esig"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+            return df.select(
+                F.col("vec_id").alias("doc_id"), F.explode(arr).alias("bb")
+            ).select("doc_id", "bb.band", "bb.bucket")
+
+        is_batch = (F.col("vec_id") < 0) | (F.col("vec_id") % 3 == 0)
+        cand = cross_band_pairs(
+            bands_of(sigs.filter(is_batch)),
+            bands_of(sigs.filter(~is_batch)),
+            bucket_cap=200000,  # 16 buckets/band at 4-bit widths: sf0.01
+                                # never caps; real corpora use wide bands
+        )
+        av = sigs.select(F.col("vec_id").alias("src"),
+                         F.col("v").alias("av"),
+                         F.col("esig").alias("sa"))
+        bv = sigs.select(F.col("vec_id").alias("dst"),
+                         F.col("v").alias("bv"),
+                         F.col("esig").alias("sb"))
+        cos = dot_double(F.col("av"), F.col("bv")) / (
+            _norm(F.col("av")) * _norm(F.col("bv"))
+        )
+        return (
+            cand.join(av, "src").join(bv, "dst")
+            .withColumn("bit_dist",
+                        hamming64(F.col("sa"), F.col("sb")).cast("long"))
+            .filter(F.col("bit_dist") <= max_bits)
+            .withColumn("cos", cos)
+            .filter(F.col("cos") >= F.lit(0.99))
+            .select(
+                "src", "dst", "bit_dist",
+                F.floor(F.col("cos") * 1000 + F.lit(0.5))
+                .cast("long").alias("cos_permille"),
+            )
+        )
+
+    q["incremental_embedding_dedup"] = emb_incremental
+
     # --- containment/substring dups: winnowing fingerprints (batched
     #     numpy UDF; oracle-checked — the full winnowing pass is
     #     re-expressed in DuckDB list ops, see oracle_sql) ---
@@ -1989,20 +2071,24 @@ def oracle_sql() -> dict[str, str]:
     _edim, _eseed = 64, 1
     _emix = mix64_duckdb(f"({_eseed} * 4294967296::HUGEINT + i)")
 
-    def _emb_sig_ctes(bits: int) -> str:
+    _EMB_PERTURB = """
+            list_transform(generate_series(1, len(embedding)), i ->
+              CAST(embedding[i] AS DOUBLE) *
+              (CASE WHEN (i - 1) % 7 = 0 THEN 1.08 ELSE 1.0 END))"""
+
+    def _emb_sig_ctes(bits: int, ve_sql: str | None = None) -> str:
         """Shared CTEs: planted corpus (negated ids — collision-free at any
-        scale, ADVICE r4), quantization, integer planes, signatures."""
-        return f"""
-        ve AS (
+        scale, ADVICE r4; override via ve_sql), quantization, integer
+        planes, signatures."""
+        ve = ve_sql or f"""
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings
           UNION ALL
-          SELECT -vec_id - 1,
-            list_transform(generate_series(1, len(embedding)), i ->
-              CAST(embedding[i] AS DOUBLE) *
-              (CASE WHEN (i - 1) % 7 = 0 THEN 1.08 ELSE 1.0 END))
+          SELECT -vec_id - 1, {_EMB_PERTURB}
           FROM embeddings WHERE vec_id < 100
-        ),
+        """
+        return f"""
+        ve AS ({ve}),
         q AS (
           SELECT vec_id,
             list_transform(v, x -> CAST(floor(x * {QUANT}.0 + 0.5) AS BIGINT)) AS qv
@@ -2083,6 +2169,30 @@ def oracle_sql() -> dict[str, str]:
           JOIN sigs sa ON sa.vec_id = c.src
           JOIN sigs sb ON sb.vec_id = c.dst
           WHERE bit_count(xor(sa.esig, sb.esig)) <= 11
+        ),
+        {_emb_verify_sql}
+    """
+
+    # incremental embedding dedup: batch (vec_id % 3 == 0 + perturbed
+    # re-entries of index vectors) vs index (% 3 != 0).  hamming <= 3
+    # over 4 bands is pigeonhole-exhaustive, so brute-force batch-x-index
+    # hamming IS the cross-band-blocked set; signatures replay via the
+    # shared integer CTEs over the split corpus.
+    _ve_incr = f"""
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+          UNION ALL
+          SELECT -vec_id - 1, {_EMB_PERTURB}
+          FROM embeddings WHERE vec_id % 3 != 0 AND vec_id % 10 = 1
+        """
+    o["incremental_embedding_dedup"] = f"""
+        WITH {_emb_sig_ctes(16, _ve_incr)},
+        cand AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 CAST(bit_count(xor(a.esig, b.esig)) AS BIGINT) AS bit_dist
+          FROM (SELECT * FROM sigs WHERE vec_id < 0 OR vec_id % 3 = 0) a,
+               (SELECT * FROM sigs WHERE vec_id >= 0 AND vec_id % 3 != 0) b
+          WHERE bit_count(xor(a.esig, b.esig)) <= 3
         ),
         {_emb_verify_sql}
     """

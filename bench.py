@@ -273,6 +273,10 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        # suite size changes between rounds (round 5 added the two
+        # incremental headlines): compare totals across rounds only over
+        # the intersection of the per-query maps
+        "n_queries": len(times),
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,

@@ -765,6 +765,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_stats"] = text_stats
 
+    def repetition_stats(s, d):
+        """Intra-document repetition signals (C4/Gopher filtering family):
+        duplicated word-3-gram share, top-2-gram share, mean word length —
+        pure JVM expressions, integer permille, bit-identical SQL."""
+        from humid_spark.functions import textstats as ts
+
+        t = F.col("text")
+        return (
+            _t(s, d, "documents")
+            .filter(t.isNotNull())
+            .select(
+                "doc_id",
+                ts.dup_ngram_permille(t).alias("dup3_permille"),
+                ts.top_ngram_share_permille(t).alias("top2_permille"),
+                ts.mean_word_len_permille(t).alias("word_len_permille"),
+            )
+        )
+
+    q["repetition_stats"] = repetition_stats
+
     def quality_counts(s, d):
         from humid_spark.functions import textstats as ts
 
@@ -1823,6 +1843,13 @@ def oracle_sql() -> dict[str, str]:
         f"{ts.sql_punct_permille('text')} AS punct_permille, "
         f"{ts.sql_stopword_permille('text')} AS stopword_permille "
         f"FROM documents"
+    )
+
+    o["repetition_stats"] = (
+        f"SELECT doc_id, {ts.sql_dup_ngram_permille('text')} AS dup3_permille, "
+        f"{ts.sql_top_ngram_share_permille('text')} AS top2_permille, "
+        f"{ts.sql_mean_word_len_permille('text')} AS word_len_permille "
+        f"FROM documents WHERE text IS NOT NULL"
     )
 
     o["quality_class_counts"] = (

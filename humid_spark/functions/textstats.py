@@ -181,3 +181,101 @@ def sql_fingerprint(text: str) -> str:
         f"trim(regexp_replace(lower(coalesce({text}, '')), '\\s+', ' ', 'g'))"
     )
     return f"md5({norm})"
+
+
+# ------------------- repetition signals (round 5) -------------------
+# Intra-document duplication metrics of the C4/Gopher filtering family:
+# heavily self-repeating pages are low-quality training data even when
+# they are nobody's near-duplicate.  Same dual-formulation contract as
+# the rest of this module — Spark Column expressions (pure JVM,
+# whole-stage codegen) and bit-identical DuckDB SQL; integer permille.
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    toks = _tokens(text)
+    cnt = F.size(toks)
+    return F.when(
+        cnt < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), cnt - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def dup_ngram_permille(text: Column, n: int = 3) -> Column:
+    """1000 * duplicated word-n-grams / total n-grams (0 when fewer than
+    n tokens): the share of the document that repeats itself."""
+    g = _word_ngrams(text, n)
+    total = F.size(g)
+    dup = total - F.size(F.array_distinct(g))
+    return F.when(total == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(dup * 1000 / total).cast("long")
+    )
+
+
+def top_ngram_share_permille(text: Column, n: int = 2) -> Column:
+    """1000 * occurrences of the most frequent word-n-gram / total
+    n-grams — the boilerplate-loop signal (a page that is one phrase
+    stamped 50 times scores ~1000)."""
+    g = _word_ngrams(text, n)
+    total = F.size(g)
+    maxc = F.array_max(
+        F.transform(
+            F.array_distinct(g),
+            lambda x: F.size(F.filter(g, lambda y: y == x)),
+        )
+    )
+    return F.when(total == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(maxc * 1000 / total).cast("long")
+    )
+
+
+def mean_word_len_permille(text: Column) -> Column:
+    """1000 * total word chars / word count (Gopher bounds its float
+    analog to [3, 10]; permille keeps it hash-exact)."""
+    toks = _tokens(text)
+    cnt = F.size(toks)
+    chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    return F.when(cnt == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(chars * 1000 / cnt).cast("long")
+    )
+
+
+def _sql_word_ngrams(text: str, n: int) -> str:
+    t = _sql_tokens(text)
+    return (
+        f"list_transform(generate_series(1, greatest(len({t}) - {n - 1}, 0)), "
+        f"i -> array_to_string(list_slice({t}, i, i + {n - 1}), ' '))"
+    )
+
+
+def sql_dup_ngram_permille(text: str, n: int = 3) -> str:
+    g = _sql_word_ngrams(text, n)
+    return (
+        f"(case when len({g}) = 0 then 0 else "
+        f"((len({g}) - len(list_distinct({g}))) * 1000) // len({g}) end)"
+    )
+
+
+def sql_top_ngram_share_permille(text: str, n: int = 2) -> str:
+    g = _sql_word_ngrams(text, n)
+    maxc = (
+        f"list_max(list_transform(list_distinct({g}), "
+        f"x -> len(list_filter({g}, y -> y = x))))"
+    )
+    return (
+        f"(case when len({g}) = 0 then 0 else "
+        f"({maxc} * 1000) // len({g}) end)"
+    )
+
+
+def sql_mean_word_len_permille(text: str) -> str:
+    t = _sql_tokens(text)
+    chars = f"list_sum(list_transform({t}, w -> length(w)))"
+    return (
+        f"(case when len({t}) = 0 then 0 else "
+        f"(CAST({chars} AS BIGINT) * 1000) // len({t}) end)"
+    )

@@ -785,6 +785,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_stats"] = repetition_stats
 
+    def url_canonical(s, d):
+        """Key-space dedup: the same fetch reachable through case drift,
+        default ports, tracking params, fragments and trailing slashes
+        collapses under functions/urls.canonical_url BEFORE content dedup
+        ever runs.  URLs are planted deterministically from doc_id (the
+        driver tables carry no url column); variant rows get id
+        -doc_id-1, so every dup group's keep_doc_id pins the grouping."""
+        from humid_spark.functions.urls import canonical_url
+
+        ids = _t(s, d, "documents").select("doc_id")
+        site = F.col("doc_id") % 50
+        page = F.col("doc_id")
+
+        def u(*parts):
+            return F.concat(*[
+                p if isinstance(p, F.Column) else F.lit(p) for p in parts
+            ])
+
+        base = ids.select(
+            "doc_id",
+            u("http://site", site.cast("string"), ".example.com/page/",
+              page.cast("string")).alias("url"),
+        )
+        v1 = ids.filter(F.col("doc_id") % 4 == 1).select(
+            (-F.col("doc_id") - 1).alias("doc_id"),
+            u("HTTP://SITE", site.cast("string"), ".EXAMPLE.COM:80/page/",
+              page.cast("string"), "?utm_source=crawl").alias("url"),
+        )
+        v2 = ids.filter(F.col("doc_id") % 4 == 2).select(
+            (-F.col("doc_id") - 1).alias("doc_id"),
+            u("http://site", site.cast("string"), ".example.com/page/",
+              page.cast("string"), "/#section-2").alias("url"),
+        )
+        return (
+            base.unionByName(v1).unionByName(v2)
+            .select("doc_id", canonical_url(F.col("url")).alias("canon"))
+            .groupBy("canon")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("doc_id").alias("keep_doc_id"))
+        )
+
+    q["url_canonical_dups"] = url_canonical
+
     def quality_counts(s, d):
         from humid_spark.functions import textstats as ts
 
@@ -1851,6 +1894,32 @@ def oracle_sql() -> dict[str, str]:
         f"{ts.sql_mean_word_len_permille('text')} AS word_len_permille "
         f"FROM documents WHERE text IS NOT NULL"
     )
+
+    from humid_spark.functions.urls import sql_canonical_url
+
+    o["url_canonical_dups"] = f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 'http://site' || CAST(doc_id % 50 AS VARCHAR) ||
+                 '.example.com/page/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents
+          UNION ALL
+          SELECT -doc_id - 1,
+                 'HTTP://SITE' || CAST(doc_id % 50 AS VARCHAR) ||
+                 '.EXAMPLE.COM:80/page/' || CAST(doc_id AS VARCHAR) ||
+                 '?utm_source=crawl'
+          FROM documents WHERE doc_id % 4 = 1
+          UNION ALL
+          SELECT -doc_id - 1,
+                 'http://site' || CAST(doc_id % 50 AS VARCHAR) ||
+                 '.example.com/page/' || CAST(doc_id AS VARCHAR) ||
+                 '/#section-2'
+          FROM documents WHERE doc_id % 4 = 2
+        )
+        SELECT {sql_canonical_url('url')} AS canon, count(*) AS n,
+               min(doc_id) AS keep_doc_id
+        FROM planted GROUP BY 1
+    """
 
     o["quality_class_counts"] = (
         f"SELECT {ts.sql_quality_class('text')} AS quality, count(*) AS n "

@@ -1,0 +1,41 @@
+"""URL canonicalization: hand-expected results + Spark/DuckDB parity on a
+battery of messy URLs (the Java-regex vs RE2 replacement-syntax split is
+exactly the kind of thing only a battery catches)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from humid_spark.functions.urls import canonical_url, sql_canonical_url
+
+CASES = [
+    ("HTTP://Example.COM:80/Path/To?x=1#frag", "http://example.com/Path/To?x=1"),
+    ("https://Host.org:443/", "https://host.org"),
+    ("https://host.org:8443/a", "https://host.org:8443/a"),  # non-default kept
+    ("http://a.b/p?utm_source=f&id=3&utm_medium=m", "http://a.b/p?id=3"),
+    ("http://a.b/p?utm_source=f", "http://a.b/p"),
+    ("http://a.b/p?gclid=xyz&fbclid=q&k=v", "http://a.b/p?k=v"),
+    ("http://a.b/dir///", "http://a.b/dir"),
+    ("HTTPS://UPPER.CASE/MiXeD/path", "https://upper.case/MiXeD/path"),
+    ("http://plain.com/x?a=1&b=2", "http://plain.com/x?a=1&b=2"),
+]
+
+
+def test_canonical_url_hand_values(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+    got = {
+        r["url"]: r["c"]
+        for r in df.select("url", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    for url, want in CASES:
+        assert got[url] == want, (url, got[url], want)
+
+
+def test_canonical_url_sql_parity(spark):
+    con = duckdb.connect()
+    for url, want in CASES:
+        (row,) = con.execute(
+            f"SELECT {sql_canonical_url('url')} FROM (SELECT ? AS url)", [url]
+        ).fetchone()
+        assert row == want, (url, row, want)

@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="web mode: add the winnowing containment pass "
                         "(substring dups LSH misses); cap demotions are "
                         "reported in the run summary")
+    p.add_argument("--canonicalize-urls", action="store_true",
+                   help="collapse key-space url duplicates (case, default "
+                        "ports, tracking params, fragments, slashes) "
+                        "before doc ids are assigned")
     p.add_argument("--alphabet", default=None,
                    help="restrict usable keys to this alphabet "
                         "(e.g. ACGT for FastQ-shaped data)")
@@ -96,6 +100,7 @@ def main(argv: list[str] | None = None) -> None:
         url_key_prefix=args.url_key_prefix,
         checkpoint_dir=args.checkpoint_dir,
         use_containment=args.containment,
+        canonicalize_urls=args.canonicalize_urls,
     )
     if args.scheme:
         cfg_kwargs["minhash_scheme"] = args.scheme

@@ -65,6 +65,11 @@ class DedupConfig:
     simhash_bits: int = 64
 
     # --- containment pass (winnowing; SURVEY.md §7.2 M4) ---
+    canonicalize_urls: bool = False  # collapse key-space dups (case/port/
+                                     # tracking-param/fragment/slash drift,
+                                     # functions/urls.py) before doc ids
+                                     # are assigned — variant fetches of
+                                     # one page become ONE doc
     use_containment: bool = False
     containment_min_share: float = 0.7
     winnow_k: int = 8

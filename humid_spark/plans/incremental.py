@@ -299,8 +299,13 @@ class DedupIndex:
         [, count]): the same signatures-at-the-scan + exact-collapse shape
         as run_web_pipeline (webdedup.py) — text never enters a shuffle."""
         min_len = max(cfg.shingle_k, 1)
+        url = F.col("url")
+        if cfg.canonicalize_urls:
+            from humid_spark.functions.urls import canonical_url
+
+            url = canonical_url(url)
         usable = (
-            pages.withColumn("doc_id", F.xxhash64(F.col("url")))
+            pages.withColumn("doc_id", F.xxhash64(url))
             .filter(
                 F.col("text").isNotNull()
                 & (F.length("text") >= min_len)

@@ -142,8 +142,13 @@ def run_web_pipeline(
         return df
 
     min_len = max(cfg.shingle_k, 1)
+    url = F.col("url")
+    if cfg.canonicalize_urls:
+        from humid_spark.functions.urls import canonical_url
+
+        url = canonical_url(url)
     docs = (
-        pages.withColumn("doc_id", F.xxhash64(F.col("url")))
+        pages.withColumn("doc_id", F.xxhash64(url))
         .withColumn(
             "usable",
             F.col("text").isNotNull() & (F.length("text") >= min_len),
@@ -281,10 +286,21 @@ def run_web_pipeline(
         annotated.filter(F.col("usable"))
         .groupBy("cluster_id")
         .agg(F.min(F.struct("warc_ts", "url", "doc_id")).alias("first"))
-        .select("cluster_id", F.col("first.doc_id").alias("doc_id"))
+        .select(
+            F.col("first.doc_id").alias("doc_id"),
+            F.col("first.url").alias("url"),
+            F.col("first.warc_ts").alias("warc_ts"),
+        )
     )
-    dedup = docs.join(rep_docs.select("doc_id"), "doc_id", "semi").select(
-        "url", "warc_ts", "html", "text", "lang"
+    # the semi join carries the full rep identity, not just doc_id: with
+    # cfg.canonicalize_urls several VARIANT rows share the rep's doc_id
+    # (that is the point of canonicalizing) and a doc_id-only semi join
+    # would re-emit every variant; dropDuplicates covers byte-identical
+    # re-fetches (same url AND timestamp), where any pick is the same row
+    dedup = (
+        docs.join(rep_docs, ["doc_id", "url", "warc_ts"], "semi")
+        .select("url", "warc_ts", "html", "text", "lang")
+        .dropDuplicates(["url", "warc_ts"])
     )
 
     return WebDedupResult(

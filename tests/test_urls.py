@@ -39,3 +39,34 @@ def test_canonical_url_sql_parity(spark):
             f"SELECT {sql_canonical_url('url')} FROM (SELECT ? AS url)", [url]
         ).fetchone()
         assert row == want, (url, row, want)
+
+
+def test_canonicalize_urls_pipeline_flag(spark):
+    """cfg.canonicalize_urls collapses variant fetches into ONE doc before
+    ids are assigned — with the flag the two variant rows form a single
+    exact-dup group; without it they are two docs."""
+    from datetime import datetime
+
+    from humid_spark.config import DedupConfig
+    from humid_spark.plans.webdedup import run_web_pipeline
+    from humid_spark.sources.pages import PAGES_SCHEMA
+
+    text = "the same page body fetched twice through drifting urls " * 3
+    ts = datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [("HTTP://Site.COM:80/a?utm_source=f", ts, None, text, "en"),
+         ("http://site.com/a", ts, None, text, "en"),
+         ("http://other.com/b", ts, None, "completely different body here",
+          "en")],
+        PAGES_SCHEMA,
+    )
+    on = run_web_pipeline(pages, DedupConfig(canonicalize_urls=True))
+    assert on.docs.select("doc_id").distinct().count() == 2
+    assert {r["count"] for r in on.uniq.collect()} == {2, 1}
+    # the dedup sink emits ONE row per cluster even though two variant
+    # rows share the rep doc_id (the doc_id-only semi join regression)
+    assert on.dedup.count() == 2
+    on.release()
+    off = run_web_pipeline(pages, DedupConfig())
+    assert off.docs.select("doc_id").distinct().count() == 3
+    off.release()

@@ -828,6 +828,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_canonical_dups"] = url_canonical
 
+    def stratified_sample(s, d):
+        """Curation-style downsampling: keep all 'good' docs, half the
+        'short', a tenth of the 'noisy' — the inclusion gate is a
+        deterministic md5 bucket of doc_id (functions/sampling.py), so
+        the selected set is identical across engines, partitionings and
+        re-runs (and nested: raising a rate only ADDS rows)."""
+        from humid_spark.functions import textstats as ts
+        from humid_spark.functions.sampling import sample_flag
+
+        t = F.col("text")
+        rate = (
+            F.when(ts.quality_class(t) == "good", F.lit(1000))
+            .when(ts.quality_class(t) == "short", F.lit(500))
+            .otherwise(F.lit(100))
+        )
+        return (
+            _t(s, d, "documents")
+            .filter(t.isNotNull())
+            .filter(sample_flag(F.col("doc_id"), rate))
+            .select("doc_id", ts.quality_class(t).alias("quality"))
+        )
+
+    q["stratified_sample"] = stratified_sample
+
     def quality_counts(s, d):
         from humid_spark.functions import textstats as ts
 
@@ -1920,6 +1944,19 @@ def oracle_sql() -> dict[str, str]:
                min(doc_id) AS keep_doc_id
         FROM planted GROUP BY 1
     """
+
+    from humid_spark.functions.sampling import sql_sample_flag
+
+    _q_rate = (
+        f"(case when {ts.sql_quality_class('text')} = 'good' then 1000 "
+        f"when {ts.sql_quality_class('text')} = 'short' then 500 "
+        f"else 100 end)"
+    )
+    o["stratified_sample"] = (
+        f"SELECT doc_id, {ts.sql_quality_class('text')} AS quality "
+        f"FROM documents WHERE text IS NOT NULL "
+        f"AND {sql_sample_flag('doc_id', _q_rate)}"
+    )
 
     o["quality_class_counts"] = (
         f"SELECT {ts.sql_quality_class('text')} AS quality, count(*) AS n "

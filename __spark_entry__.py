@@ -852,6 +852,140 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stratified_sample"] = stratified_sample
 
+    def curation_funnel(s, d):
+        """The END-TO-END training-data curation chain, composed from the
+        library's own tiers and hash-checked as one funnel:
+
+          input (+ planted url variants and exact re-entries)
+          -> url-canonical collapse        (functions/urls.py)
+          -> quality gate (drop 'short')   (functions/textstats.py)
+          -> stratified deterministic sample (good 1000 / rest 700
+             permille; functions/sampling.py)
+          -> exact text dedup
+          -> near dedup (parity MinHash -> bands -> Jaccard >= 0.5
+             -> connected components)
+
+        Plants: doc_id % 4 == 1 re-enters under a tracking-param/case
+        variant url (id -2*doc_id-1; removed by the url tier);
+        doc_id % 10 == 3 re-enters with identical text under a DIFFERENT
+        url (id -2*doc_id-2; survives the url tier, removed by the exact
+        tier when both copies survive the gates).  Disjoint odd/even
+        negative id spaces — collision-free at any scale factor."""
+        from humid_spark.functions import textstats as ts
+        from humid_spark.functions.sampling import sample_flag
+        from humid_spark.functions.signatures import sql_parity_sig_table
+        from humid_spark.functions.urls import canonical_url
+        from humid_spark.operators.cc import connected_components
+
+        docs = _t(s, d, "documents").filter(
+            F.col("text").isNotNull() & (F.length("text") >= MH_K)
+        ).select("doc_id", "text")
+        site = F.col("doc_id") % 50
+
+        def u(*parts):
+            return F.concat(*[
+                p if isinstance(p, F.Column) else F.lit(p) for p in parts
+            ])
+
+        base = docs.select(
+            F.col("doc_id").alias("rid"), "text",
+            u("http://site", site.cast("string"), ".example.com/page/",
+              F.col("doc_id").cast("string")).alias("url"),
+        )
+        v_url = docs.filter(F.col("doc_id") % 4 == 1).select(
+            (-F.col("doc_id") * 2 - 1).alias("rid"), "text",
+            u("HTTP://SITE", site.cast("string"), ".EXAMPLE.COM:80/page/",
+              F.col("doc_id").cast("string"), "?utm_source=crawl")
+            .alias("url"),
+        )
+        v_exact = docs.filter(F.col("doc_id") % 10 == 3).select(
+            (-F.col("doc_id") * 2 - 2).alias("rid"), "text",
+            u("http://site", site.cast("string"), ".example.com/page/",
+              F.col("doc_id").cast("string"), "-alt").alias("url"),
+        )
+        rows = base.unionByName(v_url).unionByName(v_exact)
+
+        url_kept = (
+            rows.groupBy(canonical_url(F.col("url")).alias("canon"))
+            .agg(F.min(F.struct("rid", "text")).alias("first"))
+            .select(F.col("first.rid").alias("rid"),
+                    F.col("first.text").alias("text"))
+        )
+        quality_kept = url_kept.filter(
+            ts.quality_class(F.col("text")) != "short"
+        )
+        rate = F.when(
+            ts.quality_class(F.col("text")) == "good", F.lit(1000)
+        ).otherwise(F.lit(700))
+        sampled = quality_kept.filter(sample_flag(F.col("rid"), rate))
+        grp = sampled.groupBy("text").agg(
+            F.min("rid").alias("doc_id"), F.count(F.lit(1)).alias("cnt")
+        )
+        tbl = sql_parity_sig_table(
+            grp.select("doc_id", "text").repartition(
+                s.sparkContext.defaultParallelism
+            ),
+            MH_K, MH_PERMS,
+        ).localCheckpoint(eager=True)
+        pairs = _band_join_spark(s, d, sigs=tbl.drop("sh"))
+        sh = tbl.select("doc_id", "sh")
+        ver = (
+            pairs
+            .join(sh.select(F.col("doc_id").alias("src"),
+                            F.col("sh").alias("sh_a")), "src")
+            .join(sh.select(F.col("doc_id").alias("dst"),
+                            F.col("sh").alias("sh_b")), "dst")
+            .filter(
+                F.floor(F.size(F.array_intersect("sh_a", "sh_b")) * 1000
+                        / F.size(F.array_union("sh_a", "sh_b")))
+                >= FUNNEL_THRESH
+            )
+            .select("src", "dst")
+        )
+        comp = connected_components(ver)
+
+        def one(df, *pairs_):
+            return df.agg(*[
+                expr.alias(name) for name, expr in pairs_
+            ]).selectExpr(
+                f"stack({len(pairs_)}, "
+                + ", ".join(f"'{n}', {n}" for n, _ in pairs_)
+                + ") AS (m, v)"
+            )
+
+        stages = (
+            one(rows, ("n_input", F.count(F.lit(1))))
+            .unionByName(one(url_kept, ("url_kept", F.count(F.lit(1)))))
+            .unionByName(
+                one(quality_kept, ("quality_kept", F.count(F.lit(1)))))
+            .unionByName(one(sampled, ("sampled", F.count(F.lit(1)))))
+            .unionByName(one(grp, ("exact_unique", F.count(F.lit(1)))))
+            .unionByName(one(ver, ("near_edges", F.count(F.lit(1)))))
+            .unionByName(one(comp, (
+                "cc_nodes", F.count(F.lit(1))), (
+                "cc_comps", F.countDistinct("component"))))
+        )
+        names = ("n_input", "url_kept", "quality_kept", "sampled",
+                 "exact_unique", "near_edges", "cc_nodes", "cc_comps")
+        row = stages.agg(*[
+            F.max(F.when(F.col("m") == n, F.col("v"))).alias(n)
+            for n in names
+        ])
+        return row.selectExpr(
+            "stack(8, "
+            "'n_input', n_input, "
+            "'url_removed', n_input - url_kept, "
+            "'quality_removed', url_kept - quality_kept, "
+            "'sample_removed', quality_kept - sampled, "
+            "'exact_removed', sampled - exact_unique, "
+            "'near_edges', near_edges, "
+            "'near_removed', cc_nodes - cc_comps, "
+            "'kept', exact_unique - (cc_nodes - cc_comps)"
+            ") AS (metric, value)"
+        )
+
+    q["curation_funnel"] = curation_funnel
+
     def quality_counts(s, d):
         from humid_spark.functions import textstats as ts
 
@@ -1957,6 +2091,94 @@ def oracle_sql() -> dict[str, str]:
         f"FROM documents WHERE text IS NOT NULL "
         f"AND {sql_sample_flag('doc_id', _q_rate)}"
     )
+
+    # curation_funnel: every tier is individually SQL-replayable (canonical
+    # url, quality class, md5 sample gate, text grouping, parity sigs,
+    # banding, Jaccard, recursive-CTE components) — this replays the whole
+    # COMPOSITION.  The url tier keeps arg-min-by-rid (Spark: min over
+    # struct(rid, text); rid is unique per group, so it is the same pick).
+    _cur_rate = (
+        f"(case when {ts.sql_quality_class('text')} = 'good' "
+        f"then 1000 else 700 end)"
+    )
+    o["curation_funnel"] = f"""
+        WITH RECURSIVE
+        d AS (SELECT doc_id, text FROM documents
+              WHERE text IS NOT NULL AND length(text) >= {MH_K}),
+        rows_ AS (
+          SELECT doc_id AS rid, text,
+                 'http://site' || CAST(doc_id % 50 AS VARCHAR) ||
+                 '.example.com/page/' || CAST(doc_id AS VARCHAR) AS url
+          FROM d
+          UNION ALL
+          SELECT -doc_id * 2 - 1, text,
+                 'HTTP://SITE' || CAST(doc_id % 50 AS VARCHAR) ||
+                 '.EXAMPLE.COM:80/page/' || CAST(doc_id AS VARCHAR) ||
+                 '?utm_source=crawl'
+          FROM d WHERE doc_id % 4 = 1
+          UNION ALL
+          SELECT -doc_id * 2 - 2, text,
+                 'http://site' || CAST(doc_id % 50 AS VARCHAR) ||
+                 '.example.com/page/' || CAST(doc_id AS VARCHAR) || '-alt'
+          FROM d WHERE doc_id % 10 = 3
+        ),
+        uk AS (
+          SELECT min(rid) AS rid, arg_min(text, rid) AS text
+          FROM rows_ GROUP BY {sql_canonical_url('url')}
+        ),
+        qk AS (SELECT rid, text FROM uk
+               WHERE {ts.sql_quality_class('text')} != 'short'),
+        sk AS (SELECT rid, text FROM qk
+               WHERE {sql_sample_flag('rid', _cur_rate)}),
+        grp AS (SELECT text, min(rid) AS doc_id, count(*) AS cnt
+                FROM sk GROUP BY text),
+        shg AS (SELECT doc_id, {_fsh} AS sh FROM grp),
+        sigs AS (SELECT doc_id, {_fmins} FROM shg),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({_fbands})
+        ),
+        ver AS (
+          SELECT c.src, c.dst
+          FROM cand c JOIN shg x ON c.src = x.doc_id
+                      JOIN shg y ON c.dst = y.doc_id
+          WHERE (1000 * len(list_intersect(x.sh, y.sh)))
+                // len(list_distinct(list_concat(x.sh, y.sh)))
+                >= {FUNNEL_THRESH}
+        ),
+        edges AS (SELECT src, dst FROM ver
+                  UNION ALL SELECT dst, src FROM ver),
+        nodes AS (SELECT DISTINCT src AS n FROM edges),
+        reach(n, comp) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.src, r.comp FROM reach r JOIN edges e ON e.dst = r.n
+        ),
+        cc AS (SELECT n, min(comp) AS comp FROM reach GROUP BY n),
+        agg AS (
+          SELECT (SELECT count(*) FROM rows_) AS n_input,
+                 (SELECT count(*) FROM uk) AS url_kept,
+                 (SELECT count(*) FROM qk) AS quality_kept,
+                 (SELECT count(*) FROM sk) AS sampled,
+                 (SELECT count(*) FROM grp) AS exact_unique,
+                 (SELECT count(*) FROM ver) AS near_edges,
+                 (SELECT count(*) FROM cc) AS cc_nodes,
+                 (SELECT count(DISTINCT comp) FROM cc) AS cc_comps
+        )
+        SELECT metric, CAST(value AS BIGINT) AS value FROM (
+          SELECT 'n_input' AS metric, n_input AS value FROM agg
+          UNION ALL SELECT 'url_removed', n_input - url_kept FROM agg
+          UNION ALL SELECT 'quality_removed', url_kept - quality_kept
+            FROM agg
+          UNION ALL SELECT 'sample_removed', quality_kept - sampled
+            FROM agg
+          UNION ALL SELECT 'exact_removed', sampled - exact_unique FROM agg
+          UNION ALL SELECT 'near_edges', near_edges FROM agg
+          UNION ALL SELECT 'near_removed', cc_nodes - cc_comps FROM agg
+          UNION ALL SELECT 'kept', exact_unique - (cc_nodes - cc_comps)
+            FROM agg
+        )
+    """
 
     o["quality_class_counts"] = (
         f"SELECT {ts.sql_quality_class('text')} AS quality, count(*) AS n "

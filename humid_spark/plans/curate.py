@@ -1,0 +1,94 @@
+"""Training-data curation pipeline: quality gate -> deterministic sample
+-> web dedup, as one library call.
+
+The contract query `curation_funnel` (__spark_entry__.py) hash-checks this
+chain's semantics against a full SQL replay; this module is the
+user-facing surface — real pages in, curated representatives out, with a
+per-tier funnel the operator can read off one DataFrame.
+
+Tier order is deliberate: the quality gate and the sample run BEFORE
+signatures are computed, so a page dropped for quality never costs a
+MinHash, and the sample is an md5 gate on the url (functions/sampling.py)
+— partitioning-independent, nested across rates, reproducible on any
+engine.  URL canonicalization is the web pipeline's own
+cfg.canonicalize_urls flag (variant fetches collapse into one doc id
+before the exact tier).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from humid_spark.config import DedupConfig
+from humid_spark.functions.sampling import sample_flag
+from humid_spark.functions.textstats import quality_class
+from humid_spark.plans.webdedup import WebDedupResult, run_web_pipeline
+
+
+@dataclass
+class CurationResult:
+    pages: DataFrame      # the raw input
+    gated: DataFrame      # after the quality gate
+    sampled: DataFrame    # after the deterministic sample
+    web: WebDedupResult   # dedup tiers over the sampled pages
+    kept: DataFrame       # one representative page per cluster
+
+    def release(self, checkpoints: bool = False) -> None:
+        self.web.release(checkpoints=checkpoints)
+
+    def funnel(self) -> DataFrame:
+        """(metric, value) rows: the curation tiers prepended to the web
+        pipeline's own dedup funnel (same join-free stack/union shape —
+        a crossJoin would breach the no-cartesian hygiene bar)."""
+        pre = (
+            self.pages.agg(F.count(F.lit(1)).alias("n_input"))
+            .selectExpr("stack(1, 'n_input', n_input) AS (m, v)")
+            .unionByName(
+                self.gated.agg(F.count(F.lit(1)).alias("gated"))
+                .selectExpr("stack(1, 'gated', gated) AS (m, v)")
+            )
+            .unionByName(
+                self.sampled.agg(F.count(F.lit(1)).alias("sampled"))
+                .selectExpr("stack(1, 'sampled', sampled) AS (m, v)")
+            )
+        )
+        names = ("n_input", "gated", "sampled")
+        row = pre.agg(*[
+            F.max(F.when(F.col("m") == n, F.col("v"))).alias(n)
+            for n in names
+        ])
+        head = row.selectExpr(
+            "stack(3, "
+            "'n_input', n_input, "
+            "'quality_removed', n_input - gated, "
+            "'sample_removed', gated - sampled"
+            ") AS (metric, value)"
+        )
+        return head.unionByName(self.web.funnel())
+
+
+def run_curation_pipeline(
+    pages: DataFrame,
+    cfg: DedupConfig,
+    *,
+    quality_drop: tuple[str, ...] = ("short",),
+    sample_rates: dict[str, int] | None = None,
+    default_rate: int = 1000,
+) -> CurationResult:
+    """quality_drop: quality classes removed outright.  sample_rates:
+    permille kept per remaining quality class (md5-gated on url; classes
+    absent from the map keep default_rate).  Dedup semantics — schemes,
+    thresholds, containment, url canonicalization — come from cfg."""
+    qc = quality_class(F.col("text"))
+    gated = pages.filter(~qc.isin(list(quality_drop)))
+    rate = F.lit(default_rate)
+    for cls, permille in (sample_rates or {}).items():
+        rate = F.when(qc == cls, F.lit(permille)).otherwise(rate)
+    sampled = gated.filter(sample_flag(F.col("url"), rate))
+    web = run_web_pipeline(sampled, cfg)
+    return CurationResult(
+        pages=pages, gated=gated, sampled=sampled, web=web, kept=web.dedup
+    )

@@ -22,5 +22,29 @@ idiomatic Spark DataFrame operators:
 from humid_spark.config import DedupConfig
 from humid_spark.session import get_spark
 
-__all__ = ["DedupConfig", "get_spark"]
+
+def __getattr__(name):  # lazy: pipelines pull pyspark.sql at import time
+    if name == "run_web_pipeline":
+        from humid_spark.plans.webdedup import run_web_pipeline
+
+        return run_web_pipeline
+    if name == "run_pipeline":
+        from humid_spark.plans.pipeline import run_pipeline
+
+        return run_pipeline
+    if name == "run_curation_pipeline":
+        from humid_spark.plans.curate import run_curation_pipeline
+
+        return run_curation_pipeline
+    if name == "DedupIndex":
+        from humid_spark.plans.incremental import DedupIndex
+
+        return DedupIndex
+    raise AttributeError(name)
+
+
+__all__ = [
+    "DedupConfig", "get_spark", "run_pipeline", "run_web_pipeline",
+    "run_curation_pipeline", "DedupIndex",
+]
 __version__ = "0.1.0"

@@ -49,12 +49,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-l", "--log", default=None,
                    help="log file name (reference -l; default stderr)")
     # engine-mode flags (no reference equivalent)
-    p.add_argument("--mode", choices=["parity", "web", "incremental"],
+    p.add_argument("--mode",
+                   choices=["parity", "web", "incremental", "curate"],
                    default="parity",
                    help="parity: reference key semantics (Hamming/edit "
                         "neighbour join); web: MinHash/LSH near-dup engine; "
                         "incremental: dedup the input batch against a "
-                        "persistent --index-dir (builds it on first run)")
+                        "persistent --index-dir (builds it on first run); "
+                        "curate: quality gate + deterministic sample + web "
+                        "dedup, writes curated pages + the tier funnel")
     p.add_argument("--index-dir", default=None,
                    help="incremental mode: the persistent DedupIndex "
                         "directory")
@@ -123,7 +126,25 @@ def main(argv: list[str] | None = None) -> None:
             if args.checkpoint_dir else None
         )
 
-        if args.mode == "incremental":
+        if args.mode == "curate":
+            from humid_spark.plans.curate import run_curation_pipeline
+
+            res = run_curation_pipeline(
+                pages, cfg, sample_rates={"noisy": 700}
+            )
+            res.kept.write.mode("overwrite").parquet(
+                f"{args.out_dir}/pages_curated")
+            res.funnel().write.mode("overwrite").parquet(
+                f"{args.out_dir}/funnel")
+            out = {"curated": True}
+            if cfg.write_stats:
+                out["funnel"] = {
+                    r["metric"]: r["value"]
+                    for r in spark.read.parquet(
+                        f"{args.out_dir}/funnel").collect()
+                }
+            res.release()
+        elif args.mode == "incremental":
             if not args.index_dir:
                 raise SystemExit("--mode incremental requires --index-dir")
             import os

@@ -167,3 +167,27 @@ def test_cli_incremental_mode_build_apply_replay(spark, tmp_path):
     s3 = run(batch_src)  # same input again -> replay no-op
     assert s3["outputs"] == {"already_ingested": True,
                              "batch_id": o["batch_id"]}
+
+
+def test_cli_curate_mode(spark, tmp_path):
+    """--mode curate writes curated pages + the tier funnel; with -s the
+    funnel rides the summary and its identities hold."""
+    from humid_spark.sources.pages import fx_webtext, to_spark
+
+    src, out = str(tmp_path / "pages"), str(tmp_path / "out")
+    log = str(tmp_path / "run.log")
+    to_spark(spark, fx_webtext(n_seeds=20)).write.parquet(src)
+    env = dict(os.environ, PYTHONPATH=ROOT)
+    res = subprocess.run(
+        [sys.executable, "-m", "humid_spark", "--mode", "curate", "-s",
+         "-l", log, "--cores", "4", "-d", out, src],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    with open(log) as f:
+        summary = json.loads(f.read().strip().splitlines()[-1])
+    funnel = summary["outputs"]["funnel"]
+    kept = spark.read.parquet(os.path.join(out, "pages_curated")).count()
+    assert funnel["kept"] == kept > 0
+    assert funnel["n_input"] >= funnel["kept"]

@@ -96,13 +96,19 @@ def run_child(mode: str) -> None:
         res = idx.dedup_batch(_batch(spark))
         res.survivors.write.format("noop").mode("overwrite").save()
         res.near_pairs.write.format("noop").mode("overwrite").save()
+        # STOP THE CLOCK here: the diagnostic counts below re-execute the
+        # batch scan and the survivors chain — real work, but not the
+        # per-snapshot cost this mode measures (the 'full' mode times
+        # exactly one forced action)
+        elapsed = round(time.perf_counter() - t0, 2)
         rows = {
             "batch": _batch(spark).count(),
             "survivors": res.survivors.count(),
             "near_pairs": res.near_pairs.count(),
         }
         res.release()
-    elapsed = round(time.perf_counter() - t0, 2)
+    if mode != "classify":
+        elapsed = round(time.perf_counter() - t0, 2)
     out = {"mode": mode, "elapsed_sec": elapsed}
     if rows:
         out.update(rows)

@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="web mode: add the winnowing containment pass "
                         "(substring dups LSH misses); cap demotions are "
                         "reported in the run summary")
+    p.add_argument("--noisy-rate", type=int, default=1000,
+                   help="curate mode: permille of 'noisy'-class pages to "
+                        "keep (deterministic md5 sample; default 1000 = "
+                        "keep all — downsampling is OPT-IN)")
     p.add_argument("--canonicalize-urls", action="store_true",
                    help="collapse key-space url duplicates (case, default "
                         "ports, tracking params, fragments, slashes) "
@@ -130,7 +134,8 @@ def main(argv: list[str] | None = None) -> None:
             from humid_spark.plans.curate import run_curation_pipeline
 
             res = run_curation_pipeline(
-                pages, cfg, sample_rates={"noisy": 700}
+                pages, cfg,
+                sample_rates={"noisy": args.noisy_rate},
             )
             res.kept.write.mode("overwrite").parquet(
                 f"{args.out_dir}/pages_curated")
@@ -154,15 +159,20 @@ def main(argv: list[str] | None = None) -> None:
 
             from humid_spark.plans.incremental import DedupIndex
 
+            batch_id = input_snapshot_of(args.files)
             if not os.path.exists(
                 DedupIndex._manifest_path(args.index_dir)
             ):
-                idx = DedupIndex.build(pages, cfg, args.index_dir)
-                out = {"built": True,
+                # the bootstrap corpus is recorded under its own input
+                # snapshot, so re-running the identical first command is
+                # the same idempotent no-op as any later replay
+                idx = DedupIndex.build(
+                    pages, cfg, args.index_dir, batch_id=batch_id
+                )
+                out = {"built": True, "batch_id": batch_id,
                        "index_rows": idx.uniq(spark).count()}
             else:
                 idx = DedupIndex.load(args.index_dir, cfg)
-                batch_id = input_snapshot_of(args.files)
                 if idx.has_batch(batch_id):
                     # replay of an already-ingested input: idempotent no-op
                     out = {"already_ingested": True, "batch_id": batch_id}

@@ -191,7 +191,7 @@ def sql_fingerprint(text: str) -> str:
 # whole-stage codegen) and bit-identical DuckDB SQL; integer permille.
 
 def _word_ngrams(text: Column, n: int) -> Column:
-    toks = _tokens(text)
+    toks = _tokens(F.coalesce(text, F.lit("")))  # NULL text -> 0, not NULL
     cnt = F.size(toks)
     return F.when(
         cnt < n, F.array().cast("array<string>")
@@ -234,7 +234,7 @@ def top_ngram_share_permille(text: Column, n: int = 2) -> Column:
 def mean_word_len_permille(text: Column) -> Column:
     """1000 * total word chars / word count (Gopher bounds its float
     analog to [3, 10]; permille keeps it hash-exact)."""
-    toks = _tokens(text)
+    toks = _tokens(F.coalesce(text, F.lit("")))
     cnt = F.size(toks)
     chars = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
@@ -245,7 +245,7 @@ def mean_word_len_permille(text: Column) -> Column:
 
 
 def _sql_word_ngrams(text: str, n: int) -> str:
-    t = _sql_tokens(text)
+    t = _sql_tokens(f"coalesce({text}, '')")
     return (
         f"list_transform(generate_series(1, greatest(len({t}) - {n - 1}, 0)), "
         f"i -> array_to_string(list_slice({t}, i, i + {n - 1}), ' '))"
@@ -273,7 +273,7 @@ def sql_top_ngram_share_permille(text: str, n: int = 2) -> str:
 
 
 def sql_mean_word_len_permille(text: str) -> str:
-    t = _sql_tokens(text)
+    t = _sql_tokens(f"coalesce({text}, '')")
     chars = f"list_sum(list_transform({t}, w -> length(w)))"
     return (
         f"(case when len({t}) = 0 then 0 else "

@@ -51,7 +51,13 @@ def canonical_url(url: Column) -> Column:
     rest = F.regexp_replace(rest, r"&&+", "&")       # before ?&: "?&&k"
     rest = F.regexp_replace(rest, r"\?&", "?")
     rest = F.regexp_replace(rest, r"[?&]$", "")
-    rest = F.regexp_replace(rest, r"/+$", "")        # 5. trailing slash
+    # 5. trailing slashes — on the PATH only: '/dir/?k' -> '/dir?k', and
+    # the bare-$ strip runs only when no query remains (a query VALUE
+    # ending in '/' is a genuinely different key, never merged)
+    rest = F.regexp_replace(rest, r"/+\?", "?")
+    rest = F.when(rest.contains("?"), rest).otherwise(
+        F.regexp_replace(rest, r"/+$", "")
+    )
     return F.concat(scheme, F.lit("://"), host, rest)
 
 
@@ -71,5 +77,9 @@ def sql_canonical_url(url: str) -> str:
     rest = f"regexp_replace({rest}, '&&+', '&', 'g')"
     rest = f"regexp_replace({rest}, '\\?&', '?', 'g')"
     rest = f"regexp_replace({rest}, '[?&]$', '', 'g')"
-    rest = f"regexp_replace({rest}, '/+$', '', 'g')"
+    rest = f"regexp_replace({rest}, '/+\\?', '?', 'g')"
+    rest = (
+        f"(case when position('?' in {rest}) > 0 then {rest} "
+        f"else regexp_replace({rest}, '/+$', '', 'g') end)"
+    )
     return f"({scheme} || '://' || {host} || {rest})"

@@ -18,6 +18,12 @@ SURVEY.md §1.2) as a parquet table:
 
   <root>/bands/        parquet (doc_id, band, bucket), the secondary index
 
+Each committed batch owns a subdirectory (`uniq/batch-<id>/`,
+`bands/batch-<id>/`); readers list ONLY the subdirectories the manifest
+records, and the manifest write is an atomic rename — so the manifest is
+the commit point and a crash anywhere mid-append leaves invisible orphans,
+never a half-visible batch (the Iceberg snapshot discipline, file-based).
+
 The three per-batch uses each scan ONLY the columns they need — parquet
 column pruning does the work, nothing index-sized is ever cached:
 the exact tier reads the text_hash column alone (~1/70th of the table —
@@ -65,6 +71,7 @@ from humid_spark.operators import lsh
 from humid_spark.operators.incremental import (
     cross_band_pairs,
     demoted_cross_buckets,
+    exact_survivors,
 )
 
 
@@ -103,16 +110,26 @@ class DedupIndex:
     ) -> "DedupIndex":
         """Bootstrap an index from the initial corpus: exact-collapse +
         signatures (the same two stages run_web_pipeline pays), written
-        once."""
+        once.
+
+        Crash-safety layout: every batch (this one included) lands in its
+        OWN subdirectory under uniq/ and bands/, and readers list only the
+        subdirectories the manifest records — the manifest write (atomic
+        tmp+rename) IS the commit point.  A crash between the data writes
+        and the manifest leaves orphan subdirectories no reader ever sees;
+        a retry overwrites them and commits."""
         if os.path.exists(cls._manifest_path(root)):
             raise ValueError(f"index already exists at {root}; use load()")
-        uniq = cls._uniq_of(pages, cfg)
-        os.makedirs(root, exist_ok=True)
-        uniq.write.mode("overwrite").parquet(cls._uniq_dir(root))
         spark = pages.sparkSession
+        os.makedirs(root, exist_ok=True)
+        uniq = cls._uniq_of(pages, cfg)
+        udir = cls._batch_dir(cls._uniq_dir(root), batch_id)
+        uniq.write.mode("overwrite").parquet(udir)
         lsh.band_buckets(
-            spark.read.parquet(cls._uniq_dir(root)), cfg
-        ).write.mode("overwrite").parquet(cls._bands_dir(root))
+            spark.read.schema(cls._UNIQ_SCHEMA).parquet(udir), cfg
+        ).write.mode("overwrite").parquet(
+            cls._batch_dir(cls._bands_dir(root), batch_id)
+        )
         manifest = {
             "config_hash": cfg.config_hash(),
             "num_perm": cfg.num_perm,
@@ -122,9 +139,20 @@ class DedupIndex:
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             ),
         }
-        with open(cls._manifest_path(root), "w") as f:
-            json.dump(manifest, f, indent=1)
+        cls._write_manifest(root, manifest)
         return cls(root, cfg, manifest)
+
+    _UNIQ_SCHEMA = "text_hash long, doc_id long, minhash array<int>"
+    _BANDS_SCHEMA = "doc_id long, band int, bucket long"
+
+    @staticmethod
+    def _write_manifest(root: str, manifest: dict) -> None:
+        """Atomic commit: tmp file + os.replace — readers see the old or
+        the new manifest, never a torn one."""
+        tmp = DedupIndex._manifest_path(root) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, DedupIndex._manifest_path(root))
 
     @classmethod
     def load(cls, root: str, cfg: DedupConfig) -> "DedupIndex":
@@ -168,9 +196,7 @@ class DedupIndex:
         exact_hits = batch_uniq.join(
             index.select("text_hash"), "text_hash", "semi"
         ).select("text_hash", "doc_id", "count")
-        fresh = batch_uniq.join(
-            index.select("text_hash"), "text_hash", "anti"
-        )
+        fresh = exact_survivors(batch_uniq, index, key_col="text_hash")
 
         bsig = fresh.select("doc_id", "minhash")
         isig = index.select("doc_id", "minhash")
@@ -228,19 +254,22 @@ class DedupIndex:
         )
 
     def append(self, survivors: DataFrame, batch_id: str) -> None:
-        """Ingest a batch's surviving uniques: parquet APPEND (new files
-        only — the existing index is never rewritten), then the manifest
-        records the batch id.  Duplicate batch ids raise — re-ingesting a
-        snapshot would silently double the index."""
+        """Ingest a batch's surviving uniques into the batch's OWN
+        subdirectories (mode overwrite — a retry after a crash rewrites
+        the same orphan, never doubles data), then commit by recording the
+        batch id in the manifest (atomic rename).  Readers list only
+        committed subdirectories, so a half-appended batch is invisible
+        until the commit lands — the crash-mid-append replay hazard
+        (uniq written, bands not, manifest not: every replayed batch row
+        would look like an exact hit) cannot occur.  Duplicate batch ids
+        raise — re-ingesting a committed snapshot would double the index."""
         if batch_id in self.manifest["batches"]:
             raise ValueError(f"batch {batch_id!r} already ingested")
-        # MATERIALIZE before writing: a dedup_batch survivors plan READS
-        # the index files this method appends to — re-evaluating it after
-        # the first write would anti-join the survivors against
-        # themselves (uniq appended first: bands write sees zero rows;
-        # bands first: uniq write sees each survivor as its own near-dup).
-        # localCheckpoint truncates that lineage; the blocks are freed
-        # once both writes land.
+        # MATERIALIZE once: the survivors plan scans the committed index
+        # (a corpus-sized read) — without the checkpoint the bands write
+        # would re-run the whole exact+near chain.  (Correctness no longer
+        # depends on this: the new subdirectories are not in any reader's
+        # committed path list until the manifest commit below.)
         from humid_spark.operators.cc import CheckpointHandle
 
         rows = (
@@ -248,15 +277,18 @@ class DedupIndex:
             .localCheckpoint(eager=True)
         )
         try:
-            rows.write.mode("append").parquet(self._uniq_dir(self.root))
-            lsh.band_buckets(rows, self.cfg).write.mode("append").parquet(
-                self._bands_dir(self.root)
+            rows.write.mode("overwrite").parquet(
+                self._batch_dir(self._uniq_dir(self.root), batch_id)
+            )
+            lsh.band_buckets(rows, self.cfg).write.mode(
+                "overwrite"
+            ).parquet(
+                self._batch_dir(self._bands_dir(self.root), batch_id)
             )
         finally:
             CheckpointHandle(rows).unpersist()
         self.manifest["batches"].append(batch_id)
-        with open(self._manifest_path(self.root), "w") as f:
-            json.dump(self.manifest, f, indent=1)
+        self._write_manifest(self.root, self.manifest)
 
     def has_batch(self, batch_id: str) -> bool:
         """True when the manifest already records `batch_id` — the
@@ -264,17 +296,26 @@ class DedupIndex:
         (streaming/incremental.py)."""
         return batch_id in self.manifest["batches"]
 
+    def _committed(self, base: str) -> list[str]:
+        return [
+            self._batch_dir(base, b) for b in self.manifest["batches"]
+        ]
+
     def uniq(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self._uniq_dir(self.root)).select(
-            "text_hash", "doc_id", "minhash"
+        # explicit schema: no footer inference, so a committed batch with
+        # ZERO survivors (an empty parquet directory) reads as empty
+        # instead of failing inference
+        return spark.read.schema(self._UNIQ_SCHEMA).parquet(
+            *self._committed(self._uniq_dir(self.root))
         )
 
     def bands(self, spark: SparkSession) -> DataFrame:
         """The (doc_id, band, bucket) secondary index; derived on the fly
-        for pre-band-table indexes (back-compat)."""
-        d = self._bands_dir(self.root)
-        if os.path.exists(d):
-            return spark.read.parquet(d)
+        when the band table is absent (back-compat / manual deletion)."""
+        if os.path.exists(self._bands_dir(self.root)):
+            return spark.read.schema(self._BANDS_SCHEMA).parquet(
+                *self._committed(self._bands_dir(self.root))
+            )
         return lsh.band_buckets(self.uniq(spark), self.cfg)
 
     # ---- internals -------------------------------------------------------
@@ -290,6 +331,13 @@ class DedupIndex:
     @staticmethod
     def _bands_dir(root: str) -> str:
         return os.path.join(root, "bands")
+
+    @staticmethod
+    def _batch_dir(base: str, batch_id: str) -> str:
+        import re
+
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", batch_id)
+        return os.path.join(base, f"batch-{safe}")
 
     @staticmethod
     def _uniq_of(

@@ -297,8 +297,18 @@ def run_web_pipeline(
     # (that is the point of canonicalizing) and a doc_id-only semi join
     # would re-emit every variant; dropDuplicates covers byte-identical
     # re-fetches (same url AND timestamp), where any pick is the same row
+    # null-safe equality on url/warc_ts: input schemas are nullable, and a
+    # rep row with a NULL field would otherwise match nothing in a plain
+    # equi join — silently dropping its ENTIRE cluster from the output
+    d, r = docs.alias("d"), rep_docs.alias("r")
     dedup = (
-        docs.join(rep_docs, ["doc_id", "url", "warc_ts"], "semi")
+        d.join(
+            r,
+            (F.col("d.doc_id") == F.col("r.doc_id"))
+            & F.col("d.url").eqNullSafe(F.col("r.url"))
+            & F.col("d.warc_ts").eqNullSafe(F.col("r.warc_ts")),
+            "semi",
+        )
         .select("url", "warc_ts", "html", "text", "lang")
         .dropDuplicates(["url", "warc_ts"])
     )

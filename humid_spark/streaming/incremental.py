@@ -60,13 +60,15 @@ def stream_ingest(
             return
         res = index.dedup_batch(batch_df)
         base = os.path.join(out_dir, f"batch_id={batch_id}")
-        res.survivors.write.mode("overwrite").parquet(
-            os.path.join(base, "survivors")
-        )
+        surv_path = os.path.join(base, "survivors")
+        res.survivors.write.mode("overwrite").parquet(surv_path)
         res.near_pairs.write.mode("overwrite").parquet(
             os.path.join(base, "near_pairs")
         )
-        index.append(res.survivors, bid)
+        # append from the WRITTEN table: the index ingests exactly what
+        # the sink holds, and the survivors plan (a corpus-sized index
+        # scan chain) is not executed a second time
+        index.append(batch_df.sparkSession.read.parquet(surv_path), bid)
         res.release()
 
     return (

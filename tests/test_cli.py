@@ -168,6 +168,12 @@ def test_cli_incremental_mode_build_apply_replay(spark, tmp_path):
     assert s3["outputs"] == {"already_ingested": True,
                              "batch_id": o["batch_id"]}
 
+    s4 = run(corpus_src)  # the BOOTSTRAP input replays as a no-op too:
+    assert s4["outputs"] == {  # build records its input snapshot, not a
+        "already_ingested": True,  # fixed 'initial' id
+        "batch_id": s1["outputs"]["batch_id"],
+    }
+
 
 def test_cli_curate_mode(spark, tmp_path):
     """--mode curate writes curated pages + the tier funnel; with -s the
@@ -180,6 +186,7 @@ def test_cli_curate_mode(spark, tmp_path):
     env = dict(os.environ, PYTHONPATH=ROOT)
     res = subprocess.run(
         [sys.executable, "-m", "humid_spark", "--mode", "curate", "-s",
+         "--noisy-rate", "700",  # downsampling is opt-in (default 1000)
          "-l", log, "--cores", "4", "-d", out, src],
         cwd=str(tmp_path), env=env, capture_output=True, text=True,
         timeout=300,

@@ -17,6 +17,7 @@ CASES = [
     ("spam spam spam spam", 500, 1000, 4000),  # "spam spam" all 3 2-grams
     ("ab", 0, 0, 2000),                 # below n: no grams -> 0
     ("", 0, 0, 0),
+    (None, 0, 0, 0),                    # NULL text -> 0, never NULL
 ]
 
 

@@ -17,6 +17,10 @@ CASES = [
     ("http://a.b/p?utm_source=f", "http://a.b/p"),
     ("http://a.b/p?gclid=xyz&fbclid=q&k=v", "http://a.b/p?k=v"),
     ("http://a.b/dir///", "http://a.b/dir"),
+    # trailing-slash rule is PATH-scoped: a query value ending in '/' is a
+    # different key (never merged); path slashes before '?' still collapse
+    ("http://a.b/login?next=/home/", "http://a.b/login?next=/home/"),
+    ("http://a.b/dir/?k=v", "http://a.b/dir?k=v"),
     ("HTTPS://UPPER.CASE/MiXeD/path", "https://upper.case/MiXeD/path"),
     ("http://plain.com/x?a=1&b=2", "http://plain.com/x?a=1&b=2"),
 ]

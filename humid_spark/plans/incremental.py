@@ -25,17 +25,21 @@ the commit point and a crash anywhere mid-append leaves invisible orphans,
 never a half-visible batch (the Iceberg snapshot discipline, file-based).
 
 The three per-batch uses each scan ONLY the columns they need — parquet
-column pruning does the work, nothing index-sized is ever cached:
+column pruning does the work, nothing index-sized is ever cached — and
+the first two never SHUFFLE the index either (the operators/incremental
+plan contract: index scans are probed map-side against broadcast
+batch-derived keys, so every exchange carries batch-bounded data):
 the exact tier reads the text_hash column alone (~1/70th of the table —
-the minhash arrays dominate the bytes), the near tier reads the
-materialized band table (written at ingest/append, so the 16x explode +
-bucket hashing is paid once per document ever, not once per snapshot),
-and the verify step reads (doc_id, minhash) into an equi-join whose
-other side is the (small) candidate set — AQE broadcasts the candidates,
-the index side never shuffles.  At real scale the uniq table would
-additionally be written bucketed by text_hash so the exact anti-join is
-storage-partitioned (no shuffle of the huge index side); a local change
-to `_write`, the dataflow is identical.  Measured (1M-corpus / 100k-batch
+the minhash arrays dominate the bytes) through one broadcast semi-join,
+the near tier reads the materialized band table (written at
+ingest/append, so the 16x explode + bucket hashing is paid once per
+document ever, not once per snapshot) restricted at the scan to
+batch-touched buckets, and the verify step reads (doc_id, minhash) into
+an equi-join whose other side is the (small) verified-candidate set —
+AQE broadcasts the candidates when they fit, making this the one
+remaining index exchange otherwise; a uniq table bucketed by doc_id
+would storage-partition it away (a local change to `append`, the
+dataflow is identical).  Measured (1M-corpus / 100k-batch
 A/B, BENCH/incremental_ab.py): the materialized band table cut the
 per-snapshot classify ~10% at 1M (93.1s -> 83.6s) — the bigger effect is
 structural: without it the near tier re-derives bands from the minhash
@@ -71,7 +75,7 @@ from humid_spark.operators import lsh
 from humid_spark.operators.incremental import (
     cross_band_pairs,
     demoted_cross_buckets,
-    exact_survivors,
+    index_hit_keys,
 )
 
 
@@ -168,15 +172,25 @@ class DedupIndex:
 
     # ---- per-snapshot dedup ---------------------------------------------
 
-    def dedup_batch(self, pages: DataFrame) -> IncrementalResult:
+    def dedup_batch(
+        self, pages: DataFrame, broadcast_batch: bool = True
+    ) -> IncrementalResult:
         """Classify a new snapshot against the index.
 
-        exact tier: anti-join on text_hash (the index contributes ONLY its
-        text_hash column to the exchange).  near tier: asymmetric band
-        join (operators/incremental.cross_band_pairs — one-sided caps and
-        salting on the index side) + signature verify at
+        exact tier: ONE column-pruned index scan (text_hash alone) probed
+        map-side against the broadcast batch keys; the resulting
+        batch-bounded hit-key set is persisted once and broadcast into
+        BOTH the exact-hit semi join and the survivor anti join — the
+        index side never enters an exchange (operators/incremental.py
+        module docstring).  near tier: asymmetric band join
+        (cross_band_pairs — batch-touched-bucket restriction, one-sided
+        caps and salting on the index side) + signature verify at
         cfg.jaccard_threshold.  survivors = batch uniques that passed both
-        tiers; feed them to `append` to ingest."""
+        tiers; feed them to `append` to ingest.
+
+        ``broadcast_batch=False`` reverts every tier to shuffle joins for
+        a "batch" too large to broadcast its distinct keys (results
+        identical, plan O(C)-exchange-heavy — see operators docstring)."""
         from pyspark import StorageLevel
 
         spark = pages.sparkSession
@@ -193,20 +207,29 @@ class DedupIndex:
         )
         persisted.append(batch_uniq)
 
-        exact_hits = batch_uniq.join(
-            index.select("text_hash"), "text_hash", "semi"
-        ).select("text_hash", "doc_id", "count")
-        fresh = exact_survivors(batch_uniq, index, key_col="text_hash")
+        # hit-key set: <= batch-many longs, persisted once, broadcast into
+        # both tiers below — the ONLY read of the index's text_hash column
+        hit_keys = index_hit_keys(
+            batch_uniq, index, "text_hash", broadcast_batch=broadcast_batch
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(hit_keys)
+        bhits = F.broadcast(hit_keys) if broadcast_batch else hit_keys
+        exact_hits = batch_uniq.join(bhits, "text_hash", "semi").select(
+            "text_hash", "doc_id", "count"
+        )
+        fresh = batch_uniq.join(bhits, "text_hash", "anti")
 
         bsig = fresh.select("doc_id", "minhash")
         isig = index.select("doc_id", "minhash")
         ibuckets = self.bands(spark)
+        bbuckets = lsh.band_buckets(bsig, self.cfg)
         cand = cross_band_pairs(
-            lsh.band_buckets(bsig, self.cfg),
+            bbuckets,
             ibuckets,
             bucket_cap=self.cfg.bucket_cap,
             salts=self.cfg.lsh_salts,
             track=persisted,
+            broadcast_batch=broadcast_batch,
         )
         near_pairs = (
             cand.join(
@@ -248,7 +271,10 @@ class DedupIndex:
             near_pairs=near_pairs,
             survivors=survivors,
             demoted=demoted_cross_buckets(
-                ibuckets, bucket_cap=self.cfg.bucket_cap
+                ibuckets,
+                bucket_cap=self.cfg.bucket_cap,
+                batch_buckets=bbuckets,
+                broadcast_batch=broadcast_batch,
             ),
             persisted=persisted,
         )

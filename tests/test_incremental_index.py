@@ -111,6 +111,91 @@ def test_batch_plans_are_equi_join_shaped(index, spark):
     res.release()
 
 
+def _plan_nodes(df):
+    """(depth, text) per line of the executed plan — depth is the column
+    where the node text starts, so an ancestor is the nearest line above
+    with a smaller depth."""
+    nodes = []
+    for line in df._jdf.queryExecution().executedPlan().toString().splitlines():
+        stripped = line.lstrip(" :+-")
+        if stripped:
+            nodes.append((len(line) - len(stripped), stripped))
+    return nodes
+
+
+def _assert_scan_joins_unexchanged(nodes, schema_pred, what):
+    """Every parquet FileScan whose ReadSchema matches must reach its
+    nearest Join ancestor with NO Exchange in between: the index side is
+    probed map-side (broadcast batch keys), never shuffled — the
+    operators/incremental.py plan contract.  Exchanges ABOVE the join are
+    fine (they carry batch-bounded survivors of the probe)."""
+    import re
+
+    found = 0
+    for i, (d, t) in enumerate(nodes):
+        m = re.search(r"FileScan parquet .*?ReadSchema: struct<([^\n]*)", t)
+        if not m or not schema_pred(m.group(1)):
+            continue
+        found += 1
+        depth = d
+        for j in range(i - 1, -1, -1):
+            dj, tj = nodes[j]
+            if dj < depth:
+                depth = dj
+                assert "Exchange" not in tj, (
+                    f"{what}: index scan shuffled before its join: {tj}"
+                )
+                if "Join" in tj:
+                    break
+    assert found, f"no {what} scan found in the plan"
+
+
+def test_index_side_never_shuffles(index, spark):
+    """The 100-TB contract: dedup_batch's exact tier and band tier SCAN
+    the corpus-sized index but never exchange it — the batch's distinct
+    keys are broadcast into semi-joins at the scans.  (The verify join's
+    (doc_id, minhash) scan is exempt: its other side is the candidate
+    set, documented in plans/incremental.py.)"""
+    batch = _pages(
+        spark, [("http://e/x", BASE + " tail"), ("http://e/y", OTHER)]
+    )
+    res = index.dedup_batch(batch)
+    nodes = _plan_nodes(res.survivors)
+    _assert_scan_joins_unexchanged(
+        nodes,
+        lambda s: s.startswith("text_hash:bigint") and "minhash" not in s,
+        "exact-tier text_hash",
+    )
+    _assert_scan_joins_unexchanged(
+        nodes, lambda s: "band:int" in s, "band-table"
+    )
+    # the demotion lineage is batch-restricted too: scan, not shuffle
+    _assert_scan_joins_unexchanged(
+        _plan_nodes(res.demoted), lambda s: "band:int" in s,
+        "demoted band-table",
+    )
+    res.release()
+
+
+def test_broadcast_off_is_equivalent(index, spark):
+    """broadcast_batch=False (the corpus-sized-batch fallback) must give
+    identical classifications through shuffle joins."""
+    batch = _pages(
+        spark,
+        [("http://f/exact", BASE), ("http://f/near", BASE + " extra tail"),
+         ("http://f/fresh", OTHER * 2)],
+    )
+    a = index.dedup_batch(batch)
+    b = index.dedup_batch(batch, broadcast_batch=False)
+    for da, db in ((a.exact_hits, b.exact_hits), (a.survivors, b.survivors),
+                   (a.near_pairs, b.near_pairs)):
+        assert sorted(map(tuple, da.collect())) == sorted(
+            map(tuple, db.collect())
+        )
+    a.release()
+    b.release()
+
+
 def test_index_scans_are_column_pruned(index, spark):
     """The index is never scanned whole: the exact tier reads text_hash
     alone, the near tier reads the materialized band table, and the

@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "persistent --index-dir (builds it on first run); "
                         "curate: quality gate + deterministic sample + web "
                         "dedup, writes curated pages + the tier funnel")
+    p.add_argument("--compact-after", type=int, default=0, metavar="N",
+                   help="incremental mode: when the index holds >= N live "
+                        "batch snapshots after this run, fold them into "
+                        "one (DedupIndex.compact) and vacuum the orphans — "
+                        "the small-files maintenance policy, bound to the "
+                        "snapshot cadence (0 = never)")
     p.add_argument("--index-dir", default=None,
                    help="incremental mode: the persistent DedupIndex "
                         "directory")
@@ -196,6 +202,12 @@ def main(argv: list[str] | None = None) -> None:
                         batch_id,
                     )
                     res.release()
+            if args.compact_after and len(
+                idx.manifest["batches"]
+            ) >= args.compact_after:
+                if idx.compact(spark):
+                    out["compacted"] = True
+                    out["vacuumed_dirs"] = len(idx.vacuum())
         elif args.mode == "web":
             from pyspark.sql import Observation
             from pyspark.sql import functions as F

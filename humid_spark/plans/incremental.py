@@ -138,7 +138,11 @@ class DedupIndex:
             "config_hash": cfg.config_hash(),
             "num_perm": cfg.num_perm,
             "scheme": cfg.minhash_scheme,
+            # batches = LIVE storage subdirectories (compaction rewrites
+            # this list); ingested = every snapshot id ever committed (the
+            # replay-idempotence ledger — compaction never touches it)
             "batches": [batch_id],
+            "ingested": [batch_id],
             "created_at": time.strftime(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             ),
@@ -162,6 +166,9 @@ class DedupIndex:
     def load(cls, root: str, cfg: DedupConfig) -> "DedupIndex":
         with open(cls._manifest_path(root)) as f:
             manifest = json.load(f)
+        # pre-compaction manifests carried no separate ingest ledger: the
+        # live storage list WAS the ledger
+        manifest.setdefault("ingested", list(manifest["batches"]))
         if manifest["config_hash"] != cfg.config_hash():
             raise ValueError(
                 "config mismatch: index was built with config_hash="
@@ -289,7 +296,7 @@ class DedupIndex:
         (uniq written, bands not, manifest not: every replayed batch row
         would look like an exact hit) cannot occur.  Duplicate batch ids
         raise — re-ingesting a committed snapshot would double the index."""
-        if batch_id in self.manifest["batches"]:
+        if batch_id in self.manifest["ingested"]:
             raise ValueError(f"batch {batch_id!r} already ingested")
         # MATERIALIZE once: the survivors plan scans the committed index
         # (a corpus-sized read) — without the checkpoint the bands write
@@ -314,13 +321,90 @@ class DedupIndex:
         finally:
             CheckpointHandle(rows).unpersist()
         self.manifest["batches"].append(batch_id)
+        self.manifest["ingested"].append(batch_id)
         self._write_manifest(self.root, self.manifest)
 
     def has_batch(self, batch_id: str) -> bool:
         """True when the manifest already records `batch_id` — the
         idempotence probe streaming replays use to skip re-ingest
-        (streaming/incremental.py)."""
-        return batch_id in self.manifest["batches"]
+        (streaming/incremental.py).  Checked against the INGEST ledger,
+        not the live storage list: a replayed snapshot must stay a no-op
+        after its rows were folded into a compaction snapshot."""
+        return batch_id in self.manifest["ingested"]
+
+    # ---- maintenance -------------------------------------------------------
+
+    def compact(self, spark: SparkSession, partitions: int | None = None) -> bool:
+        """Rewrite every committed batch into ONE new base snapshot.
+
+        A year of daily snapshots leaves ~365 subdirectories per table —
+        at cluster scale that is the classic small-files problem: every
+        dedup_batch scan opens files proportional to the number of
+        appends, and parquet footer reads dominate the exact tier.
+        Compaction folds the live list back to a single subdirectory,
+        exactly the Iceberg rewrite-data-files discipline, with the same
+        crash safety as `append`: the merged uniq and band tables are
+        written to a NEW subdirectory no reader sees (mode overwrite, so
+        a crashed compaction's orphan is simply rewritten on retry), and
+        the manifest swap — live list becomes [compact-N] — is the atomic
+        commit point.  The ingest ledger is untouched, so replay
+        idempotence (`has_batch`) survives compaction.  Old subdirectories
+        become invisible orphans; reclaim them with `vacuum` once no
+        reader holds plans over the old manifest.
+
+        ``partitions`` optionally repartitions the rewrite (uniq on
+        text_hash, bands on (band, bucket)) — sizing the compacted files
+        for the cluster instead of inheriting per-batch parallelism.
+        Returns False (no-op) when the index is already a single snapshot.
+        """
+        if len(self.manifest["batches"]) <= 1:
+            return False
+        n = 1 + max(
+            (
+                int(b.rsplit("-", 1)[1])
+                for b in self.manifest["batches"]
+                if b.startswith("compact-") and b.rsplit("-", 1)[1].isdigit()
+            ),
+            default=0,
+        )
+        cid = f"compact-{n}"
+        uniq = self.uniq(spark)
+        bands = self.bands(spark)
+        if partitions:
+            uniq = uniq.repartition(partitions, "text_hash")
+            bands = bands.repartition(partitions, "band", "bucket")
+        uniq.write.mode("overwrite").parquet(
+            self._batch_dir(self._uniq_dir(self.root), cid)
+        )
+        bands.write.mode("overwrite").parquet(
+            self._batch_dir(self._bands_dir(self.root), cid)
+        )
+        self.manifest["batches"] = [cid]
+        self._write_manifest(self.root, self.manifest)
+        return True
+
+    def vacuum(self) -> list[str]:
+        """Delete batch subdirectories the manifest no longer references
+        (failed-append orphans, pre-compaction snapshots).  Safe whenever
+        no concurrent reader still holds plans built from an OLDER
+        manifest — the single-writer assumption the whole index already
+        makes.  Returns the removed paths."""
+        import shutil
+
+        removed = []
+        for base in (self._uniq_dir(self.root), self._bands_dir(self.root)):
+            if not os.path.isdir(base):
+                continue
+            keep = {
+                os.path.basename(self._batch_dir(base, b))
+                for b in self.manifest["batches"]
+            }
+            for d in sorted(os.listdir(base)):
+                path = os.path.join(base, d)
+                if d.startswith("batch-") and d not in keep and os.path.isdir(path):
+                    shutil.rmtree(path)
+                    removed.append(path)
+        return removed
 
     def _committed(self, base: str) -> list[str]:
         return [

@@ -138,11 +138,11 @@ def test_cli_incremental_mode_build_apply_replay(spark, tmp_path):
 
     env = dict(os.environ, PYTHONPATH=ROOT)
 
-    def run(src):
+    def run(src, *extra):
         res = subprocess.run(
             [sys.executable, "-m", "humid_spark", "--mode", "incremental",
              "--index-dir", idx_dir, "-s", "-l", log, "--cores", "4",
-             "-d", out, src],
+             "-d", out, src, *extra],
             cwd=str(tmp_path), env=env, capture_output=True, text=True,
             timeout=300,
         )
@@ -173,6 +173,22 @@ def test_cli_incremental_mode_build_apply_replay(spark, tmp_path):
         "already_ingested": True,  # fixed 'initial' id
         "batch_id": s1["outputs"]["batch_id"],
     }
+
+    # --compact-after: maintenance runs even on a replay invocation —
+    # two live snapshots fold into one, the ingest ledger survives, the
+    # orphans are vacuumed, and later replays stay no-ops
+    s5 = run(batch_src, "--compact-after", "2")
+    assert s5["outputs"]["compacted"] is True
+    assert s5["outputs"]["vacuumed_dirs"] == 4
+    with open(os.path.join(idx_dir, "_index.json")) as f:
+        man = json.load(f)
+    assert man["batches"] == ["compact-1"]
+    assert set(man["ingested"]) == {s1["outputs"]["batch_id"],
+                                    o["batch_id"]}
+    assert os.listdir(os.path.join(idx_dir, "uniq")) == ["batch-compact-1"]
+    s6 = run(batch_src)
+    assert s6["outputs"] == {"already_ingested": True,
+                             "batch_id": o["batch_id"]}
 
 
 def test_cli_curate_mode(spark, tmp_path):

@@ -224,6 +224,95 @@ def test_index_scans_are_column_pruned(index, spark):
     res.release()
 
 
+def test_compact_folds_batches_and_keeps_ledger(index, spark, tmp_path):
+    """compact() rewrites N live subdirectories into one; counts, batch
+    classification and replay idempotence are unchanged; vacuum reclaims
+    the orphaned pre-compaction dirs."""
+    import os
+
+    batch = _pages(
+        spark,
+        [("http://g/1", BASE + " brand new trailing content here"),
+         ("http://g/2", OTHER + " more fresh words to survive the tiers")],
+    )
+    res = index.dedup_batch(batch)
+    index.append(res.survivors, "g")
+    res.release()
+    n_uniq = index.uniq(spark).count()
+    n_bands = index.bands(spark).count()
+    assert len(index.manifest["batches"]) == 2
+
+    assert index.compact(spark) is True
+    assert index.manifest["batches"] == ["compact-1"]
+    assert index.manifest["ingested"] == ["initial", "g"]
+    assert index.uniq(spark).count() == n_uniq
+    assert index.bands(spark).count() == n_bands
+    # replay idempotence survives compaction: the folded snapshot still
+    # raises on re-append and still answers has_batch
+    assert index.has_batch("g")
+    with pytest.raises(ValueError, match="already ingested"):
+        index.append(res.survivors, "g")
+    # the whole original batch is now exact hits against the compacted index
+    res2 = index.dedup_batch(batch)
+    assert res2.survivors.count() == 0
+    res2.release()
+
+    removed = index.vacuum()
+    assert len(removed) == 4  # 2 uniq + 2 bands pre-compaction dirs
+    live = sorted(os.listdir(os.path.join(index.root, "uniq")))
+    assert live == ["batch-compact-1"]
+    assert index.uniq(spark).count() == n_uniq
+
+    # already single-snapshot: no-op; a reload sees the same state
+    assert index.compact(spark) is False
+    again = DedupIndex.load(index.root, DedupConfig())
+    assert again.manifest["batches"] == ["compact-1"]
+    assert again.has_batch("initial")
+
+
+def test_crashed_compaction_is_invisible(index, spark):
+    """A compaction that dies before the manifest swap leaves orphan
+    subdirectories no reader lists; vacuum removes them; a retried
+    compaction reuses the same snapshot name."""
+    import os
+
+    batch = _pages(spark, [("http://h/1", OTHER + " extra tail words here")])
+    res = index.dedup_batch(batch)
+    index.append(res.survivors, "h")
+    res.release()
+    n_uniq = index.uniq(spark).count()
+    # simulate the crash: write the data dirs exactly as compact() would,
+    # then "die" before _write_manifest
+    index.uniq(spark).write.mode("overwrite").parquet(
+        os.path.join(index.root, "uniq", "batch-compact-1")
+    )
+    assert index.uniq(spark).count() == n_uniq  # orphan invisible
+    assert DedupIndex.load(index.root, DedupConfig()).manifest[
+        "batches"
+    ] == ["initial", "h"]
+    # retry commits over the orphan
+    assert index.compact(spark) is True
+    assert index.manifest["batches"] == ["compact-1"]
+    assert index.uniq(spark).count() == n_uniq
+
+
+def test_legacy_manifest_without_ledger(index, spark):
+    """Pre-compaction manifests (no 'ingested' key) load with the live
+    list as the ledger."""
+    import json
+    import os
+
+    path = os.path.join(index.root, "_index.json")
+    with open(path) as f:
+        manifest = json.load(f)
+    manifest.pop("ingested")
+    with open(path, "w") as f:
+        json.dump(manifest, f)
+    legacy = DedupIndex.load(index.root, DedupConfig())
+    assert legacy.manifest["ingested"] == legacy.manifest["batches"]
+    assert legacy.has_batch("initial")
+
+
 def test_empty_batch_flows(index, spark):
     res = index.dedup_batch(_pages(spark, []))
     assert res.survivors.count() == 0

@@ -35,11 +35,12 @@ the near tier reads the materialized band table (written at
 ingest/append, so the 16x explode + bucket hashing is paid once per
 document ever, not once per snapshot) restricted at the scan to
 batch-touched buckets, and the verify step reads (doc_id, minhash) into
-an equi-join whose other side is the (small) verified-candidate set —
-AQE broadcasts the candidates when they fit, making this the one
-remaining index exchange otherwise; a uniq table bucketed by doc_id
-would storage-partition it away (a local change to `append`, the
-dataflow is identical).  Measured (1M-corpus / 100k-batch
+an equi-join probed map-side against the broadcast candidate set
+(``broadcast_candidates``, default on — measured 58.4 -> 47.9s classify
+at 1M/100k vs the shuffle verify; switch it off for corpora whose hot
+content makes the candidate set outgrow a broadcast, where a uniq table
+bucketed by doc_id would storage-partition the shuffle away instead).
+Measured (1M-corpus / 100k-batch
 A/B, BENCH/incremental_ab.py): the materialized band table cut the
 per-snapshot classify ~10% at 1M (93.1s -> 83.6s) — the bigger effect is
 structural: without it the near tier re-derives bands from the minhash
@@ -180,7 +181,10 @@ class DedupIndex:
     # ---- per-snapshot dedup ---------------------------------------------
 
     def dedup_batch(
-        self, pages: DataFrame, broadcast_batch: bool = True
+        self,
+        pages: DataFrame,
+        broadcast_batch: bool = True,
+        broadcast_candidates: bool | None = None,
     ) -> IncrementalResult:
         """Classify a new snapshot against the index.
 
@@ -197,8 +201,18 @@ class DedupIndex:
 
         ``broadcast_batch=False`` reverts every tier to shuffle joins for
         a "batch" too large to broadcast its distinct keys (results
-        identical, plan O(C)-exchange-heavy — see operators docstring)."""
+        identical, plan O(C)-exchange-heavy — see operators docstring).
+        ``broadcast_candidates`` (default: follow ``broadcast_batch``)
+        additionally broadcasts the verified-candidate side of the
+        signature verify join — the one remaining index-sized exchange
+        otherwise; its broadcast bound is looser (candidates are
+        cap-bounded per batch band row, not batch-bounded), so it gets
+        its own switch for corpora where hot content makes the candidate
+        set large."""
         from pyspark import StorageLevel
+
+        if broadcast_candidates is None:
+            broadcast_candidates = broadcast_batch
 
         spark = pages.sparkSession
         persisted: list = []
@@ -238,15 +252,23 @@ class DedupIndex:
             track=persisted,
             broadcast_batch=broadcast_batch,
         )
+        withs = cand.join(
+            bsig.select(
+                F.col("doc_id").alias("src"),
+                F.col("minhash").alias("sig_a"),
+            ),
+            "src",
+        )
+        if broadcast_candidates:
+            # the last index-sized exchange: without the hint the verify
+            # equi-join shuffles the index's (doc_id, minhash) — the
+            # dominant index bytes — per snapshot; the candidate side is
+            # cap-bounded (<= batch band rows x bucket_cap before the
+            # distinct, pair-shaped after), so broadcasting it makes the
+            # verify a map-side probe of the signature scan
+            withs = F.broadcast(withs)
         near_pairs = (
-            cand.join(
-                bsig.select(
-                    F.col("doc_id").alias("src"),
-                    F.col("minhash").alias("sig_a"),
-                ),
-                "src",
-            )
-            .join(
+            withs.join(
                 isig.select(
                     F.col("doc_id").alias("dst"),
                     F.col("minhash").alias("sig_b"),

@@ -151,11 +151,10 @@ def _assert_scan_joins_unexchanged(nodes, schema_pred, what):
 
 
 def test_index_side_never_shuffles(index, spark):
-    """The 100-TB contract: dedup_batch's exact tier and band tier SCAN
-    the corpus-sized index but never exchange it — the batch's distinct
-    keys are broadcast into semi-joins at the scans.  (The verify join's
-    (doc_id, minhash) scan is exempt: its other side is the candidate
-    set, documented in plans/incremental.py.)"""
+    """The 100-TB contract: dedup_batch's exact tier, band tier AND the
+    signature verify SCAN the corpus-sized index but never exchange it —
+    batch-derived keys/candidates are broadcast into the joins at the
+    scans."""
     batch = _pages(
         spark, [("http://e/x", BASE + " tail"), ("http://e/y", OTHER)]
     )
@@ -168,6 +167,9 @@ def test_index_side_never_shuffles(index, spark):
     )
     _assert_scan_joins_unexchanged(
         nodes, lambda s: "band:int" in s, "band-table"
+    )
+    _assert_scan_joins_unexchanged(
+        nodes, lambda s: "minhash" in s, "verify signature"
     )
     # the demotion lineage is batch-restricted too: scan, not shuffle
     _assert_scan_joins_unexchanged(

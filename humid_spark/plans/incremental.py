@@ -13,10 +13,16 @@ must be paid ONCE at ingest, not once per snapshot.
 (the unique-text signature table — the analog of the reference's trie,
 SURVEY.md §1.2) as a parquet table:
 
-  <root>/_index.json   {config_hash, num_perm, scheme, batches: [...]}
+  <root>/_index.json   {config_hash, num_perm, scheme, batches: [...],
+                        clusters, remap_v}
   <root>/uniq/         parquet (text_hash, doc_id, minhash), append-only
 
   <root>/bands/        parquet (doc_id, band, bucket), the secondary index
+  <root>/clusters/     parquet (doc_id, cluster), append-only cluster map
+                       (build(with_clusters=True) + cluster_batch/append)
+  <root>/remaps/v-N/   parquet (old_cluster, new_cluster), the tiny
+                       root-resolved merge table applied at read time
+                       (merge-on-read; compact folds it in and resets it)
 
 Each committed batch owns a subdirectory (`uniq/batch-<id>/`,
 `bands/batch-<id>/`); readers list ONLY the subdirectories the manifest
@@ -53,11 +59,16 @@ cfg.config_hash() — loading or appending with ANY other config raises
 analog of reusing a stale checkpoint).  Batch ids are recorded append-only;
 re-appending a batch id raises rather than double-ingesting.
 
-Within-batch near-dup clustering is deliberately NOT folded in here: run
-the batch through `run_web_pipeline` first (its exact collapse, LSH and CC
-machinery are unchanged), then `dedup_batch` the representatives against
-the index.  `dedup_batch` does collapse exact dups within the batch — that
-is free on the way to signatures and keeps `survivors` one-row-per-text.
+`dedup_batch` collapses exact dups within the batch (free on the way to
+signatures; `survivors` is one-row-per-text) but leaves within-batch NEAR
+dups to either `run_web_pipeline` over the batch first, or — when the
+index maintains a cluster map — to `cluster_batch`, which computes the
+within-batch verified pairs as part of assigning every fresh doc a
+persistent cluster id.  The cluster map is the incremental analog of the
+batch pipeline's CC output: cluster id = min member doc_id ever seen,
+batch-induced merges recorded in a tiny root-resolved remap table applied
+at read time (merge-on-read) instead of rewriting the corpus-sized map —
+the same discipline Iceberg uses for row-level deletes.
 """
 
 from __future__ import annotations
@@ -73,6 +84,7 @@ from pyspark.sql import functions as F
 from humid_spark.config import DedupConfig
 from humid_spark.functions.signatures import est_jaccard, minhash_map_in_arrow
 from humid_spark.operators import lsh
+from humid_spark.operators.cc import connected_components
 from humid_spark.operators.incremental import (
     cross_band_pairs,
     demoted_cross_buckets,
@@ -87,6 +99,7 @@ class IncrementalResult:
     near_pairs: DataFrame   # (src=batch doc_id, dst=index doc_id, est_jaccard)
     survivors: DataFrame    # batch uniq rows that are NEW content vs the index
     demoted: DataFrame      # capped index-side (band, bucket) lineage
+    fresh: DataFrame = None  # batch uniq rows past the exact tier (near + new)
     persisted: list = field(default_factory=list)
 
     def release(self) -> None:
@@ -95,6 +108,30 @@ class IncrementalResult:
         actions recompute instead of failing."""
         for df in self.persisted:
             df.unpersist()
+
+
+@dataclass
+class ClusterDelta:
+    """One batch's change to the persistent cluster map (`cluster_batch`).
+
+    assignments: (doc_id, cluster) for EVERY fresh batch doc — survivors
+    and near-dropped docs alike (a dropped near-dup still belongs to its
+    representative's cluster, exactly like the batch pipeline's annotate
+    sink).  remap: the full REPLACEMENT root-remap table (old_cluster ->
+    new_cluster), already composed with the index's current remap — merges
+    caused by this batch relabel existing clusters lazily at read time
+    (merge-on-read) instead of rewriting the corpus-sized cluster table.
+    batch_pairs: the verified within-batch near pairs (lineage — these
+    edges exist in no other surface)."""
+
+    assignments: DataFrame  # (doc_id, cluster) for every fresh batch doc
+    remap: DataFrame        # full replacement (old_cluster, new_cluster)
+    batch_pairs: DataFrame  # verified within-batch (src, dst, est_jaccard)
+    persisted: list = field(default_factory=list)
+
+    def release(self) -> None:
+        for h in self.persisted:
+            h.unpersist()
 
 
 class DedupIndex:
@@ -111,7 +148,7 @@ class DedupIndex:
     @classmethod
     def build(
         cls, pages: DataFrame, cfg: DedupConfig, root: str,
-        batch_id: str = "initial",
+        batch_id: str = "initial", with_clusters: bool = False,
     ) -> "DedupIndex":
         """Bootstrap an index from the initial corpus: exact-collapse +
         signatures (the same two stages run_web_pipeline pays), written
@@ -122,7 +159,15 @@ class DedupIndex:
         subdirectories the manifest records — the manifest write (atomic
         tmp+rename) IS the commit point.  A crash between the data writes
         and the manifest leaves orphan subdirectories no reader ever sees;
-        a retry overwrites them and commits."""
+        a retry overwrites them and commits.
+
+        ``with_clusters=True`` additionally bootstraps the persistent
+        cluster map: the initial corpus is self-joined ONCE (the same
+        candidate_pairs + verify + connected-components machinery the
+        batch pipeline runs — this is the one time the index pays the
+        O(C^2/buckets) cost; every later snapshot pays O(C*B/buckets) in
+        `cluster_batch`) and (doc_id, cluster=min member doc_id) rows land
+        beside the batch's uniq/bands, under the same manifest commit."""
         if os.path.exists(cls._manifest_path(root)):
             raise ValueError(f"index already exists at {root}; use load()")
         spark = pages.sparkSession
@@ -130,11 +175,38 @@ class DedupIndex:
         uniq = cls._uniq_of(pages, cfg)
         udir = cls._batch_dir(cls._uniq_dir(root), batch_id)
         uniq.write.mode("overwrite").parquet(udir)
-        lsh.band_buckets(
-            spark.read.schema(cls._UNIQ_SCHEMA).parquet(udir), cfg
-        ).write.mode("overwrite").parquet(
+        committed = spark.read.schema(cls._UNIQ_SCHEMA).parquet(udir)
+        lsh.band_buckets(committed, cfg).write.mode("overwrite").parquet(
             cls._batch_dir(cls._bands_dir(root), batch_id)
         )
+        if with_clusters:
+            # self-join the WRITTEN uniq table (no recompute, no lazy
+            # self-reference: the clusters write below reads only udir)
+            track: list = []
+            try:
+                pairs = lsh.verify_pairs(
+                    lsh.candidate_pairs(
+                        lsh.band_buckets(committed, cfg), cfg, track=track
+                    ),
+                    committed,
+                    cfg,
+                )
+                comp = connected_components(pairs, track=track)
+                (
+                    committed.select("doc_id")
+                    .join(
+                        comp, committed["doc_id"] == comp["node"], "left"
+                    )
+                    .select(
+                        "doc_id",
+                        F.coalesce("component", "doc_id").alias("cluster"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(cls._batch_dir(cls._clusters_dir(root), batch_id))
+                )
+            finally:
+                for h in track:
+                    h.unpersist()
         manifest = {
             "config_hash": cfg.config_hash(),
             "num_perm": cfg.num_perm,
@@ -144,6 +216,9 @@ class DedupIndex:
             # replay-idempotence ledger — compaction never touches it)
             "batches": [batch_id],
             "ingested": [batch_id],
+            "clusters": bool(with_clusters),
+            # remap version 0 = empty: no merges recorded yet
+            "remap_v": 0,
             "created_at": time.strftime(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             ),
@@ -153,6 +228,8 @@ class DedupIndex:
 
     _UNIQ_SCHEMA = "text_hash long, doc_id long, minhash array<int>"
     _BANDS_SCHEMA = "doc_id long, band int, bucket long"
+    _CLUSTERS_SCHEMA = "doc_id long, cluster long"
+    _REMAP_SCHEMA = "old_cluster long, new_cluster long"
 
     @staticmethod
     def _write_manifest(root: str, manifest: dict) -> None:
@@ -170,6 +247,9 @@ class DedupIndex:
         # pre-compaction manifests carried no separate ingest ledger: the
         # live storage list WAS the ledger
         manifest.setdefault("ingested", list(manifest["batches"]))
+        # pre-cluster-tier manifests
+        manifest.setdefault("clusters", False)
+        manifest.setdefault("remap_v", 0)
         if manifest["config_hash"] != cfg.config_hash():
             raise ValueError(
                 "config mismatch: index was built with config_hash="
@@ -299,6 +379,7 @@ class DedupIndex:
             exact_hits=exact_hits,
             near_pairs=near_pairs,
             survivors=survivors,
+            fresh=fresh,
             demoted=demoted_cross_buckets(
                 ibuckets,
                 bucket_cap=self.cfg.bucket_cap,
@@ -308,7 +389,199 @@ class DedupIndex:
             persisted=persisted,
         )
 
-    def append(self, survivors: DataFrame, batch_id: str) -> None:
+    # ---- incremental clustering ------------------------------------------
+
+    def cluster_batch(
+        self, res: IncrementalResult, broadcast_batch: bool = True
+    ) -> ClusterDelta:
+        """Maintain the persistent cluster map across a snapshot: assign a
+        cluster id to every fresh batch doc and record the merges the batch
+        induced — WITHOUT re-clustering the corpus.
+
+        Call between `dedup_batch` and `append` (it reads the result's
+        persisted intermediates; release after, not before), then pass the
+        delta to ``append(clusters=...)`` so the map commits atomically
+        with the batch.
+
+        Graph shape: the batch contributes BATCH-BOUNDED edges only —
+        (src, dst) within-batch verified near pairs (the one edge family
+        `dedup_batch` does not compute: two fresh docs that are near-dups
+        of each other) plus (src, current cluster of dst) for every
+        cross near pair.  Connected components over that small graph give
+        each fresh doc its cluster = min(node) — and because existing
+        cluster ids ARE min member doc_ids, the invariant "cluster id =
+        min member doc id ever seen" is maintained exactly: a batch that
+        bridges two existing clusters emits a remap row for the larger
+        root, applied lazily at read time (`clusters`), never by rewriting
+        the corpus-sized map.
+
+        Plan contract (same as `dedup_batch`): the cluster map is SCANNED
+        once, probed map-side against the broadcast touched-doc set; every
+        exchange carries batch-bounded data.
+
+        Known, documented divergence from a full re-cluster: a near-dup
+        batch doc is recorded in the map but NOT ingested into the index
+        (`append` takes survivors), so a LATER snapshot's doc that is
+        near-similar only to the dropped doc — not to its surviving
+        representative — will not link to the cluster.  Chains through
+        dropped docs are the price of not indexing duplicates; within one
+        snapshot there is no divergence (pinned by tests)."""
+        if not self.manifest.get("clusters"):
+            raise ValueError(
+                "index has no cluster map: build(with_clusters=True)"
+            )
+        spark = res.batch_uniq.sparkSession
+        persisted: list = []
+
+        fresh_sigs = res.fresh.select("doc_id", "minhash")
+        internal = lsh.verify_pairs(
+            lsh.candidate_pairs(
+                lsh.band_buckets(fresh_sigs, self.cfg),
+                self.cfg,
+                track=persisted,
+            ),
+            fresh_sigs,
+            self.cfg,
+        )
+
+        touched = res.near_pairs.select(
+            F.col("dst").alias("doc_id")
+        ).distinct()
+        dstc = self.clusters_of(
+            spark, touched, broadcast_batch=broadcast_batch, track=persisted
+        ).select(
+            F.col("doc_id").alias("dst"), F.col("cluster").alias("cur")
+        )
+
+        edges = (
+            res.near_pairs.join(dstc, "dst")
+            .select("src", F.col("cur").alias("dst"))
+            .unionByName(internal.select("src", "dst"))
+        )
+        comp = connected_components(edges, track=persisted)
+
+        assignments = (
+            res.fresh.select("doc_id")
+            .join(comp, res.fresh["doc_id"] == comp["node"], "left")
+            .select(
+                "doc_id",
+                F.coalesce("component", "doc_id").alias("cluster"),
+            )
+        )
+        # merges: a touched root whose component got a smaller id
+        new_remap = (
+            dstc.select(F.col("cur").alias("node")).distinct()
+            .join(comp, "node")
+            .filter(F.col("component") != F.col("node"))
+            .select(
+                F.col("node").alias("old_cluster"),
+                F.col("component").alias("new_cluster"),
+            )
+        )
+        # compose with the current remap so the stored table stays fully
+        # root-resolved (one broadcast join resolves any doc at read time,
+        # no chains): old entries whose target just merged follow it
+        old = self.remap(spark)
+        remap = (
+            old.alias("o")
+            .join(
+                new_remap.alias("n"),
+                F.col("o.new_cluster") == F.col("n.old_cluster"),
+                "left",
+            )
+            .select(
+                F.col("o.old_cluster").alias("old_cluster"),
+                F.coalesce(
+                    F.col("n.new_cluster"), F.col("o.new_cluster")
+                ).alias("new_cluster"),
+            )
+            .unionByName(new_remap)
+        )
+        return ClusterDelta(
+            assignments=assignments,
+            remap=remap,
+            batch_pairs=internal,
+            persisted=persisted,
+        )
+
+    def clusters_of(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        *,
+        broadcast_batch: bool = True,
+        track: list | None = None,
+    ) -> DataFrame:
+        """Point lookup: the current cluster of each ``docs.doc_id``
+        (own id when the doc predates the cluster tier or was never seen).
+
+        Plan contract: ONE map-side probe of the resolved cluster-map scan
+        against the broadcast lookup set — the corpus-sized map never
+        enters an exchange.  With ``track`` the (lookup-bounded) hit set is
+        persisted — it feeds two branches (hits + own-id defaults) and
+        would otherwise scan the map twice — and the handle appended for
+        the caller to release."""
+        if not self.manifest.get("clusters"):
+            raise ValueError(
+                "index has no cluster map: build(with_clusters=True)"
+            )
+        keys = docs.select("doc_id").distinct()
+        bkeys = F.broadcast(keys) if broadcast_batch else keys
+        present = self.clusters(spark).join(bkeys, "doc_id", "semi")
+        if track is not None:
+            from pyspark import StorageLevel
+
+            present = present.persist(StorageLevel.MEMORY_AND_DISK)
+            track.append(present)
+        hit_ids = present.select("doc_id")
+        missing = keys.join(
+            F.broadcast(hit_ids) if broadcast_batch else hit_ids,
+            "doc_id",
+            "anti",
+        ).withColumn("cluster", F.col("doc_id"))
+        return present.unionByName(missing)
+
+    def clusters(self, spark: SparkSession) -> DataFrame:
+        """The resolved cluster map: (doc_id, cluster) for every fresh doc
+        ever committed.  Merge-on-read: ONE broadcast left join applies the
+        (tiny, root-resolved) remap table over the cluster scan — the map
+        itself is append-only until `compact` folds the remaps in."""
+        if not self.manifest.get("clusters"):
+            raise ValueError(
+                "index has no cluster map: build(with_clusters=True)"
+            )
+        base = spark.read.schema(self._CLUSTERS_SCHEMA).parquet(
+            *self._committed(self._clusters_dir(self.root))
+        )
+        if not self.manifest.get("remap_v"):
+            return base
+        rm = self.remap(spark)
+        return base.join(
+            F.broadcast(rm),
+            base["cluster"] == rm["old_cluster"],
+            "left",
+        ).select(
+            "doc_id",
+            F.coalesce("new_cluster", "cluster").alias("cluster"),
+        )
+
+    def remap(self, spark: SparkSession) -> DataFrame:
+        """The current root-remap table (old_cluster -> new_cluster),
+        fully resolved — version `remap_v`, empty at version 0.  Its size
+        is the number of cluster merges since the last compaction: it must
+        stay broadcastable, and `compact` resets it to empty."""
+        v = self.manifest.get("remap_v", 0)
+        path = os.path.join(self._remaps_dir(self.root), f"v-{v}")
+        if v and os.path.isdir(path):
+            return spark.read.schema(self._REMAP_SCHEMA).parquet(path)
+        return spark.createDataFrame([], self._REMAP_SCHEMA)
+
+    def append(
+        self,
+        survivors: DataFrame,
+        batch_id: str,
+        clusters: ClusterDelta | None = None,
+    ) -> None:
         """Ingest a batch's surviving uniques into the batch's OWN
         subdirectories (mode overwrite — a retry after a crash rewrites
         the same orphan, never doubles data), then commit by recording the
@@ -317,9 +590,22 @@ class DedupIndex:
         until the commit lands — the crash-mid-append replay hazard
         (uniq written, bands not, manifest not: every replayed batch row
         would look like an exact hit) cannot occur.  Duplicate batch ids
-        raise — re-ingesting a committed snapshot would double the index."""
+        raise — re-ingesting a committed snapshot would double the index.
+
+        With a cluster map, pass the batch's ``ClusterDelta`` — the
+        assignments, the new remap version, and the batch share the ONE
+        manifest commit, so the map can never drift from the data."""
         if batch_id in self.manifest["ingested"]:
             raise ValueError(f"batch {batch_id!r} already ingested")
+        if self.manifest.get("clusters") and clusters is None:
+            raise ValueError(
+                "index maintains a cluster map: pass clusters="
+                "cluster_batch(result) or rebuild without clusters"
+            )
+        if clusters is not None and not self.manifest.get("clusters"):
+            raise ValueError(
+                "index has no cluster map: build(with_clusters=True)"
+            )
         # MATERIALIZE once: the survivors plan scans the committed index
         # (a corpus-sized read) — without the checkpoint the bands write
         # would re-run the whole exact+near chain.  (Correctness no longer
@@ -331,6 +617,8 @@ class DedupIndex:
             survivors.select("text_hash", "doc_id", "minhash")
             .localCheckpoint(eager=True)
         )
+        remap_v = self.manifest.get("remap_v", 0)
+        handles = [CheckpointHandle(rows)]
         try:
             rows.write.mode("overwrite").parquet(
                 self._batch_dir(self._uniq_dir(self.root), batch_id)
@@ -340,10 +628,30 @@ class DedupIndex:
             ).parquet(
                 self._batch_dir(self._bands_dir(self.root), batch_id)
             )
+            if clusters is not None:
+                # same lazy-self-reference discipline: the delta's plans
+                # READ the committed cluster map and remap version — the
+                # new subdirectory and v-(n+1) are invisible to them, and
+                # the checkpoint pins the rows anyway
+                arows = clusters.assignments.localCheckpoint(eager=True)
+                handles.append(CheckpointHandle(arows))
+                rrows = clusters.remap.localCheckpoint(eager=True)
+                handles.append(CheckpointHandle(rrows))
+                arows.write.mode("overwrite").parquet(
+                    self._batch_dir(self._clusters_dir(self.root), batch_id)
+                )
+                rrows.write.mode("overwrite").parquet(
+                    os.path.join(
+                        self._remaps_dir(self.root), f"v-{remap_v + 1}"
+                    )
+                )
         finally:
-            CheckpointHandle(rows).unpersist()
+            for h in handles:
+                h.unpersist()
         self.manifest["batches"].append(batch_id)
         self.manifest["ingested"].append(batch_id)
+        if clusters is not None:
+            self.manifest["remap_v"] = remap_v + 1
         self._write_manifest(self.root, self.manifest)
 
     def has_batch(self, batch_id: str) -> bool:
@@ -379,7 +687,9 @@ class DedupIndex:
         for the cluster instead of inheriting per-batch parallelism.
         Returns False (no-op) when the index is already a single snapshot.
         """
-        if len(self.manifest["batches"]) <= 1:
+        if len(self.manifest["batches"]) <= 1 and not self.manifest.get(
+            "remap_v"
+        ):
             return False
         n = 1 + max(
             (
@@ -401,6 +711,16 @@ class DedupIndex:
         bands.write.mode("overwrite").parquet(
             self._batch_dir(self._bands_dir(self.root), cid)
         )
+        if self.manifest.get("clusters"):
+            # fold the remaps in: the rewritten map is fully resolved, so
+            # the remap table resets to empty (version bump, no directory)
+            clusters = self.clusters(spark)
+            if partitions:
+                clusters = clusters.repartition(partitions, "doc_id")
+            clusters.write.mode("overwrite").parquet(
+                self._batch_dir(self._clusters_dir(self.root), cid)
+            )
+            self.manifest["remap_v"] = self.manifest.get("remap_v", 0) + 1
         self.manifest["batches"] = [cid]
         self._write_manifest(self.root, self.manifest)
         return True
@@ -414,7 +734,11 @@ class DedupIndex:
         import shutil
 
         removed = []
-        for base in (self._uniq_dir(self.root), self._bands_dir(self.root)):
+        for base in (
+            self._uniq_dir(self.root),
+            self._bands_dir(self.root),
+            self._clusters_dir(self.root),
+        ):
             if not os.path.isdir(base):
                 continue
             keep = {
@@ -424,6 +748,14 @@ class DedupIndex:
             for d in sorted(os.listdir(base)):
                 path = os.path.join(base, d)
                 if d.startswith("batch-") and d not in keep and os.path.isdir(path):
+                    shutil.rmtree(path)
+                    removed.append(path)
+        rbase = self._remaps_dir(self.root)
+        if os.path.isdir(rbase):
+            live = f"v-{self.manifest.get('remap_v', 0)}"
+            for d in sorted(os.listdir(rbase)):
+                path = os.path.join(rbase, d)
+                if d.startswith("v-") and d != live and os.path.isdir(path):
                     shutil.rmtree(path)
                     removed.append(path)
         return removed
@@ -463,6 +795,14 @@ class DedupIndex:
     @staticmethod
     def _bands_dir(root: str) -> str:
         return os.path.join(root, "bands")
+
+    @staticmethod
+    def _clusters_dir(root: str) -> str:
+        return os.path.join(root, "clusters")
+
+    @staticmethod
+    def _remaps_dir(root: str) -> str:
+        return os.path.join(root, "remaps")
 
     @staticmethod
     def _batch_dir(base: str, batch_id: str) -> str:

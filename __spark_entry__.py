@@ -658,6 +658,144 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["incremental_near_dups"] = incr_near
 
+    # --- incremental_clusters: the persistent-cluster-map tier
+    #     (plans/incremental.py cluster_batch) replayed over the same
+    #     index/batch split — index clusters from an index-internal CC,
+    #     then ONE batch assigned from batch-bounded edges only
+    #     (within-batch pairs + (src, cluster-of-dst) cross edges), with
+    #     merges relabeling index clusters (merge-on-read remap).  For a
+    #     single snapshot this equals a full CC over the union pair set
+    #     (the parity theorem tests/test_incremental_clusters.py pins on
+    #     the engine), which is exactly what the DuckDB oracle replays —
+    #     so the incremental composition is hash-checked end to end.
+    #     Plants: index donors (%10==1) re-enter near-dup'd at -2*id-1
+    #     (cross edges); batch donors (%3==0, %10==3) gain a variant at
+    #     -2*id-2 (within-batch edges, the family dedup_batch alone never
+    #     sees). ---
+    def incr_clusters(s, d):
+        from humid_spark.functions.signatures import sql_parity_sig_table
+        from humid_spark.operators.cc import connected_components
+        from humid_spark.operators.incremental import cross_band_pairs
+
+        docs = _t(s, d, "documents").filter(
+            F.col("text").isNotNull() & (F.length("text") >= MH_K)
+        )
+        index_docs = docs.filter(F.col("doc_id") % 3 != 0).select(
+            "doc_id", "text"
+        )
+        batch_docs = (
+            docs.filter(F.col("doc_id") % 3 == 0)
+            .select("doc_id", "text")
+            .unionByName(
+                index_docs.filter(F.col("doc_id") % 10 == 1).select(
+                    (-F.col("doc_id") * 2 - 1).alias("doc_id"),
+                    F.concat("text", F.lit(" near dup copy")).alias("text"),
+                )
+            )
+            .unionByName(
+                docs.filter(
+                    (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 10 == 3)
+                ).select(
+                    (-F.col("doc_id") * 2 - 2).alias("doc_id"),
+                    F.concat(
+                        "text", F.lit(" second variant tail")
+                    ).alias("text"),
+                )
+            )
+        )
+        # incremental exact collapse: index keeps first-seen identity;
+        # batch collapses internally; batch texts already indexed drop
+        igrp = index_docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        bgrp = batch_docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        fresh = bgrp.join(igrp.select("text"), "text", "anti")
+        tbl = sql_parity_sig_table(
+            igrp.select("doc_id", "text")
+            .unionByName(fresh.select("doc_id", "text"))
+            .repartition(s.sparkContext.defaultParallelism),
+            MH_K,
+            MH_PERMS,
+        ).localCheckpoint(eager=True)
+        is_batch = (F.col("doc_id") < 0) | (F.col("doc_id") % 3 == 0)
+        sigs = tbl.drop("sh")
+        sh = tbl.select("doc_id", "sh")
+
+        def _verify(pairs):
+            return (
+                pairs.join(
+                    sh.select(F.col("doc_id").alias("src"),
+                              F.col("sh").alias("sh_a")), "src")
+                .join(
+                    sh.select(F.col("doc_id").alias("dst"),
+                              F.col("sh").alias("sh_b")), "dst")
+                .filter(
+                    F.floor(
+                        F.size(F.array_intersect("sh_a", "sh_b")) * 1000
+                        / F.size(F.array_union("sh_a", "sh_b"))
+                    ) >= FUNNEL_THRESH
+                )
+                .select("src", "dst")
+            )
+
+        def bands_of(sg):
+            r = MH_BAND_R
+            arr = F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":", *[F.col(f"h{r * b + i}") for i in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(MH_PERMS // r)
+                ]
+            )
+            return sg.select("doc_id", F.explode(arr).alias("bb")).select(
+                "doc_id", "bb.band", "bb.bucket"
+            )
+
+        bsig = sigs.filter(is_batch)
+        isig = sigs.filter(~is_batch)
+        # the three incremental edge families: index self (paid at build),
+        # within-batch self, batch-vs-index cross
+        index_pairs = _verify(_band_join_spark(s, d, sigs=isig))
+        internal = _verify(_band_join_spark(s, d, sigs=bsig))
+        cross = _verify(
+            cross_band_pairs(bands_of(bsig), bands_of(isig), bucket_cap=2000)
+        )
+
+        icomp = connected_components(index_pairs)
+        imap = (
+            igrp.select("doc_id")
+            .join(icomp, F.col("doc_id") == F.col("node"), "left")
+            .select(
+                "doc_id", F.coalesce("component", "doc_id").alias("cluster")
+            )
+            .localCheckpoint(eager=True)
+        )
+        edges2 = (
+            cross.join(
+                imap.withColumnRenamed("doc_id", "dst"), "dst"
+            ).select("src", F.col("cluster").alias("dst"))
+            .unionByName(internal)
+        )
+        comp2 = connected_components(edges2)
+        bmap = (
+            fresh.select("doc_id")
+            .join(comp2, F.col("doc_id") == F.col("node"), "left")
+            .select(
+                "doc_id", F.coalesce("component", "doc_id").alias("cluster")
+            )
+        )
+        iresolved = imap.join(
+            comp2, imap["cluster"] == comp2["node"], "left"
+        ).select(
+            "doc_id",
+            F.coalesce("component", "cluster").alias("cluster"),
+        )
+        return iresolved.unionByName(bmap)
+
+    q["incremental_clusters"] = incr_clusters
+
     def stream_incr(s, d):
         """REAL Structured-Streaming ingest over a persistent DedupIndex:
         two micro-batch files drain through stream_ingest's foreachBatch
@@ -2260,6 +2398,62 @@ def oracle_sql() -> dict[str, str]:
         WHERE (1000 * len(list_intersect(x.sh, y.sh)))
                 // len(list_distinct(list_concat(x.sh, y.sh)))
                 >= {FUNNEL_THRESH}
+    """
+
+    # incremental_clusters: for ONE snapshot the incremental composition
+    # (index CC, then batch-bounded edges + merge-on-read relabel) equals
+    # a full CC over the union pair set — every unordered pair is either
+    # index-index (paid at build), batch-batch (within-batch family) or
+    # batch-index (cross family).  The replay is therefore one
+    # recursive-CTE CC over the exact-collapsed union, singletons kept
+    # with cluster = own id.
+    o["incremental_clusters"] = f"""
+        WITH RECURSIVE
+        d AS (SELECT doc_id, text FROM documents
+              WHERE text IS NOT NULL AND length(text) >= {MH_K}),
+        idx AS (SELECT doc_id, text FROM d WHERE doc_id % 3 != 0),
+        batch AS (
+          SELECT doc_id, text FROM d WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT -doc_id * 2 - 1, text || ' near dup copy'
+          FROM idx WHERE doc_id % 10 = 1
+          UNION ALL
+          SELECT -doc_id * 2 - 2, text || ' second variant tail'
+          FROM d WHERE doc_id % 3 = 0 AND doc_id % 10 = 3
+        ),
+        igrp AS (SELECT min(doc_id) AS doc_id, text FROM idx
+                 GROUP BY text),
+        bgrp AS (SELECT min(doc_id) AS doc_id, text FROM batch
+                 GROUP BY text),
+        fresh AS (SELECT doc_id, text FROM bgrp
+                  WHERE text NOT IN (SELECT text FROM igrp)),
+        allr AS (SELECT doc_id, text FROM igrp
+                 UNION ALL SELECT doc_id, text FROM fresh),
+        shg AS (SELECT doc_id, {_fsh} AS sh FROM allr),
+        sigs AS (SELECT doc_id, {_fmins} FROM shg),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({_fbands})
+        ),
+        ver AS (
+          SELECT c.src, c.dst
+          FROM cand c JOIN shg x ON c.src = x.doc_id
+                      JOIN shg y ON c.dst = y.doc_id
+          WHERE (1000 * len(list_intersect(x.sh, y.sh)))
+                // len(list_distinct(list_concat(x.sh, y.sh)))
+                >= {FUNNEL_THRESH}
+        ),
+        edges AS (SELECT src, dst FROM ver
+                  UNION ALL SELECT dst, src FROM ver),
+        nodes AS (SELECT DISTINCT src AS n FROM edges),
+        reach(n, comp) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.src, r.comp FROM reach r JOIN edges e ON e.dst = r.n
+        ),
+        cc AS (SELECT n, min(comp) AS comp FROM reach GROUP BY n)
+        SELECT a.doc_id, COALESCE(cc.comp, a.doc_id) AS cluster
+        FROM allr a LEFT JOIN cc ON a.doc_id = cc.n
     """
 
     # streaming_incremental_ingest: the exact tier is text-equality, so

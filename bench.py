@@ -116,9 +116,9 @@ _INCR_STATE: dict = {}
 
 def q_incremental_build(spark: SparkSession, sf_dir: str) -> None:
     """Incremental tier, ingest side: build the persistent DedupIndex
-    (signatures + exact collapse + parquet write) from the corpus split
-    doc_id % 3 != 0 — the cost paid ONCE per corpus, not per snapshot."""
-    import shutil
+    (signatures + exact collapse + initial cluster-map CC + parquet
+    writes) from the corpus split doc_id % 3 != 0 — the cost paid ONCE
+    per corpus, not per snapshot."""
     import tempfile
 
     from humid_spark.config import DedupConfig
@@ -136,16 +136,17 @@ def q_incremental_build(spark: SparkSession, sf_dir: str) -> None:
         "semi",
     )
     _INCR_STATE["index"] = DedupIndex.build(
-        index_pages, DedupConfig(minhash_scheme="kperm"), f"{root}/idx"
+        index_pages, DedupConfig(minhash_scheme="kperm"), f"{root}/idx",
+        with_clusters=True,
     )
 
 
 def q_incremental_batch(spark: SparkSession, sf_dir: str) -> None:
     """Incremental tier, per-snapshot side: classify the doc_id % 3 == 0
     split against the on-disk index (fingerprint anti-join + asymmetric
-    band join + verify) — the recurring cost at snapshot cadence."""
-    import shutil
-
+    band join + verify) — the recurring cost at snapshot cadence.  The
+    result is stashed for the cluster-update headline (the two run at the
+    same cadence in production)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     batch_pages = _docs_as_pages(spark, sf_dir).join(
         docs.filter(F.col("doc_id") % 3 == 0).select(
@@ -158,6 +159,21 @@ def q_incremental_batch(spark: SparkSession, sf_dir: str) -> None:
     res = _INCR_STATE["index"].dedup_batch(batch_pages)
     _force(res.survivors)
     _force(res.near_pairs)
+    _INCR_STATE["res"] = res
+
+
+def q_incremental_cluster(spark: SparkSession, sf_dir: str) -> None:
+    """Incremental tier, cluster maintenance: assign every fresh batch doc
+    a persistent cluster id (within-batch pair join + cluster-map probe +
+    small-graph CC) and produce the merge remap — the other recurring
+    per-snapshot cost."""
+    import shutil
+
+    res = _INCR_STATE.pop("res")
+    delta = _INCR_STATE["index"].cluster_batch(res)
+    _force(delta.assignments)
+    _force(delta.remap)
+    delta.release()
     res.release()
     shutil.rmtree(_INCR_STATE.pop("root"))
     _INCR_STATE.clear()
@@ -195,6 +211,7 @@ QUERIES = {
     "webdedup_containment": q_webdedup_containment,
     "incremental_index_build": q_incremental_build,
     "incremental_batch_dedup": q_incremental_batch,
+    "incremental_cluster_update": q_incremental_cluster,
     "text_analytics": q_text_analytics,
     "minhash_sql_jaccard": q_minhash_sql,
     "substring_dups": q_substring_dups,

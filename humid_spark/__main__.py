@@ -67,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--index-dir", default=None,
                    help="incremental mode: the persistent DedupIndex "
                         "directory")
+    p.add_argument("--clusters", action="store_true",
+                   help="incremental mode, first run only: bootstrap a "
+                        "persistent cluster map alongside the index "
+                        "(build(with_clusters=True)); later runs follow "
+                        "the index manifest and maintain the map per "
+                        "batch (cluster_batch), writing the batch's "
+                        "(doc_id, cluster) rows to <out>/clusters")
     p.add_argument("--scheme", choices=["kperm", "oph"], default=None,
                    help="MinHash scheme (web mode; default from config)")
     p.add_argument("--containment", action="store_true",
@@ -173,10 +180,16 @@ def main(argv: list[str] | None = None) -> None:
                 # snapshot, so re-running the identical first command is
                 # the same idempotent no-op as any later replay
                 idx = DedupIndex.build(
-                    pages, cfg, args.index_dir, batch_id=batch_id
+                    pages, cfg, args.index_dir, batch_id=batch_id,
+                    with_clusters=args.clusters,
                 )
                 out = {"built": True, "batch_id": batch_id,
                        "index_rows": idx.uniq(spark).count()}
+                if args.clusters:
+                    out["clusters"] = (
+                        idx.clusters(spark).select("cluster")
+                        .distinct().count()
+                    )
             else:
                 idx = DedupIndex.load(args.index_dir, cfg)
                 if idx.has_batch(batch_id):
@@ -197,10 +210,25 @@ def main(argv: list[str] | None = None) -> None:
                         out["exact_hits"] = res.exact_hits.count()
                         out["near_pairs"] = res.near_pairs.count()
                         out["demoted_buckets"] = res.demoted.count()
+                    delta = None
+                    if idx.manifest.get("clusters"):
+                        # map maintenance rides the same run: assignments
+                        # for the operator, the delta for the atomic
+                        # append commit below
+                        delta = idx.cluster_batch(res)
+                        cobs = Observation()
+                        (delta.assignments
+                         .observe(cobs, F.count(F.lit(1)).alias("rows"))
+                         .write.mode("overwrite")
+                         .parquet(f"{args.out_dir}/clusters"))
+                        out["clustered"] = int(cobs.get["rows"])
                     idx.append(
                         spark.read.parquet(f"{args.out_dir}/survivors"),
                         batch_id,
+                        clusters=delta,
                     )
+                    if delta is not None:
+                        delta.release()
                     res.release()
             if args.compact_after and len(
                 idx.manifest["batches"]

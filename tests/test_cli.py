@@ -191,6 +191,58 @@ def test_cli_incremental_mode_build_apply_replay(spark, tmp_path):
                              "batch_id": o["batch_id"]}
 
 
+def test_cli_incremental_clusters(spark, tmp_path):
+    """--clusters: the bootstrap run builds the cluster map, later runs
+    maintain it (assignments written to <out>/clusters, remap version
+    committed with the batch), and --compact-after folds the remaps."""
+    from humid_spark.sources.pages import fx_webtext, to_spark
+
+    rows = fx_webtext(n_seeds=25)
+    corpus_src = str(tmp_path / "corpus")
+    batch_src = str(tmp_path / "batch")
+    to_spark(spark, rows[0::2]).write.parquet(corpus_src)
+    to_spark(spark, rows[1::2]).write.parquet(batch_src)
+    idx_dir, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    log = str(tmp_path / "run.log")
+    env = dict(os.environ, PYTHONPATH=ROOT)
+
+    def run(src, *extra):
+        res = subprocess.run(
+            [sys.executable, "-m", "humid_spark", "--mode", "incremental",
+             "--index-dir", idx_dir, "-l", log, "--cores", "4",
+             "-d", out, src, *extra],
+            cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=300,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        with open(log) as f:
+            return json.loads(f.read().strip().splitlines()[-1])
+
+    s1 = run(corpus_src, "--clusters")
+    assert s1["outputs"]["built"] is True
+    assert 0 < s1["outputs"]["clusters"] <= s1["outputs"]["index_rows"]
+
+    # the flag is build-time only: the follow-up run maintains the map
+    # because the MANIFEST says so
+    s2 = run(batch_src)
+    o = s2["outputs"]
+    assert o["clustered"] > 0
+    written = spark.read.parquet(os.path.join(out, "clusters"))
+    assert written.count() == o["clustered"]
+    assert set(written.columns) == {"doc_id", "cluster"}
+    with open(os.path.join(idx_dir, "_index.json")) as f:
+        man = json.load(f)
+    assert man["clusters"] is True and man["remap_v"] == 1
+
+    s3 = run(batch_src, "--compact-after", "2")  # replay + maintenance
+    assert s3["outputs"]["compacted"] is True
+    # uniq/bands/clusters each fold 2 snapshots; remaps v-1 is orphaned
+    assert s3["outputs"]["vacuumed_dirs"] == 7
+    with open(os.path.join(idx_dir, "_index.json")) as f:
+        man = json.load(f)
+    assert man["batches"] == ["compact-1"] and man["remap_v"] == 2
+
+
 def test_cli_curate_mode(spark, tmp_path):
     """--mode curate writes curated pages + the tier funnel; with -s the
     funnel rides the summary and its identities hold."""

@@ -52,7 +52,12 @@ def stream_ingest(
     (url, text_hash, doc_id) to `<out_dir>/batch_id=<id>/`, append them to
     the index.  near-pair lineage lands beside the survivors so a
     downstream clustering job can consume the edges without recomputing
-    the band join."""
+    the band join.  When the index maintains a cluster map
+    (build(with_clusters=True)), each micro-batch also runs
+    cluster_batch: the batch's (doc_id, cluster) assignments land beside
+    the survivors and the map delta commits atomically with the append —
+    replay idempotence is unchanged (the has_batch skip covers the map,
+    since map and data share the one manifest commit)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         bid = f"{batch_prefix}-{batch_id}"
@@ -65,10 +70,21 @@ def stream_ingest(
         res.near_pairs.write.mode("overwrite").parquet(
             os.path.join(base, "near_pairs")
         )
+        delta = None
+        if index.manifest.get("clusters"):
+            delta = index.cluster_batch(res)
+            delta.assignments.write.mode("overwrite").parquet(
+                os.path.join(base, "clusters")
+            )
         # append from the WRITTEN table: the index ingests exactly what
         # the sink holds, and the survivors plan (a corpus-sized index
         # scan chain) is not executed a second time
-        index.append(batch_df.sparkSession.read.parquet(surv_path), bid)
+        index.append(
+            batch_df.sparkSession.read.parquet(surv_path), bid,
+            clusters=delta,
+        )
+        if delta is not None:
+            delta.release()
         res.release()
 
     return (

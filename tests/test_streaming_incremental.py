@@ -96,3 +96,53 @@ def test_stream_ingest_cross_batch_and_replay(spark, tmp_path):
     _drain(stream_ingest(stream, idx, out, str(tmp_path / "ckpt2")))
     assert idx.manifest["batches"] == ["initial", "stream-0", "stream-1"]
     assert idx.uniq(spark).count() == rows_after
+
+
+def test_stream_ingest_maintains_cluster_map(spark, tmp_path):
+    """With a clustered index, each micro-batch writes its (doc_id,
+    cluster) assignments beside the survivors and the map delta commits
+    with the append — batch 1's near-dup joins the cluster of batch 0's
+    survivor, visible in the resolved map."""
+    cfg = DedupConfig()
+    idx = DedupIndex.build(
+        _pages(spark, [("http://a/1", BASE)]), cfg, str(tmp_path / "idx"),
+        with_clusters=True,
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _pages(spark, [("http://b/f1", FRESH1)]).coalesce(1).write.parquet(
+        f"{src}/f0"
+    )
+    time.sleep(1.1)
+    _pages(
+        spark, [("http://c/near-f1", FRESH1 + " ok")]
+    ).coalesce(1).write.parquet(f"{src}/f1")
+
+    schema = _pages(spark, []).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(stream_ingest(stream, idx, out, ckpt))
+
+    def _id(url):
+        return _pages(spark, [(url, "x")]).select(
+            F.xxhash64("url")
+        ).first()[0]
+
+    f1, near = _id("http://b/f1"), _id("http://c/near-f1")
+    c0 = spark.read.parquet(f"{out}/batch_id=0/clusters")
+    assert {(r["doc_id"], r["cluster"]) for r in c0.collect()} == {(f1, f1)}
+    c1 = spark.read.parquet(f"{out}/batch_id=1/clusters")
+    assert {(r["doc_id"], r["cluster"]) for r in c1.collect()} == {
+        (near, min(f1, near))
+    }
+    got = {
+        r["doc_id"]: r["cluster"] for r in idx.clusters(spark).collect()
+    }
+    assert got[f1] == got[near] == min(f1, near)
+    # the cross-micro-batch merge is a remap iff the later doc id is the
+    # smaller one (root relabel), else the map rows already agree
+    assert idx.manifest["remap_v"] == 2  # one version per appended batch

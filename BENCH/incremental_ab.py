@@ -36,6 +36,7 @@ sys.path.insert(0, os.path.dirname(HERE))
 CORPUS = os.path.join(HERE, "data", "pages_bench_1m")
 BATCH_SRC = os.path.join(HERE, "data", "pages_bench_3m")
 IDX = os.path.join(HERE, "data", "incr_ab_idx")
+IDX_C = os.path.join(HERE, "data", "incr_ab_idx_clusters")
 BATCH_MOD = 30
 BATCH_REM = 7
 
@@ -107,7 +108,38 @@ def run_child(mode: str) -> None:
             "near_pairs": res.near_pairs.count(),
         }
         res.release()
-    if mode != "classify":
+    elif mode == "ingest_clusters":
+        import shutil
+
+        from humid_spark.plans.incremental import DedupIndex
+
+        shutil.rmtree(IDX_C, ignore_errors=True)
+        DedupIndex.build(
+            spark.read.parquet(CORPUS), cfg, IDX_C, with_clusters=True
+        )
+    elif mode == "cluster_update":
+        from humid_spark.plans.incremental import DedupIndex
+
+        idx = DedupIndex.load(IDX_C, cfg)
+        res = idx.dedup_batch(_batch(spark))
+        res.survivors.write.format("noop").mode("overwrite").save()
+        res.near_pairs.write.format("noop").mode("overwrite").save()
+        t1 = time.perf_counter()
+        delta = idx.cluster_batch(res)
+        delta.assignments.write.format("noop").mode("overwrite").save()
+        delta.remap.write.format("noop").mode("overwrite").save()
+        # the cluster phase alone is this mode's number; the classify
+        # phase before t1 is the warm-up it rides on (recorded for the
+        # in-window comparison)
+        elapsed = round(time.perf_counter() - t1, 2)
+        rows = {
+            "classify_sec": round(t1 - t0, 2),
+            "assignments": delta.assignments.count(),
+            "remap_rows": delta.remap.count(),
+        }
+        delta.release()
+        res.release()
+    if mode not in ("classify", "cluster_update"):
         elapsed = round(time.perf_counter() - t0, 2)
     out = {"mode": mode, "elapsed_sec": elapsed}
     if rows:
@@ -119,9 +151,20 @@ def run_child(mode: str) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--child", default=None)
+    ap.add_argument(
+        "--cluster-ab", action="store_true",
+        help="measure the cluster-maintenance tier instead of the main "
+             "triple: ingest_clusters (bootstrap cost) + cluster_update "
+             "(per-snapshot marginal cost, with an in-window classify "
+             "phase as the comparator); merged into incremental_ab.json "
+             "under 'cluster_ab' with its own window telemetry",
+    )
     args = ap.parse_args()
     if args.child:
         run_child(args.child)
+        return
+    if args.cluster_ab:
+        _cluster_ab()
         return
 
     results = {}
@@ -158,6 +201,50 @@ def main() -> None:
     with open(os.path.join(HERE, "incremental_ab.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
+
+
+def _run_mode(mode: str) -> dict:
+    env = dict(os.environ, SPARK_DRIVER_MEM="12g")
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", mode],
+        env=env, capture_output=True, text=True, timeout=7200,
+    )
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    out = (
+        json.loads(line[-1]) if line
+        else {"error": r.stdout[-500:] + r.stderr[-500:]}
+    )
+    print(mode, "->", out, flush=True)
+    return out
+
+
+def _cluster_ab() -> None:
+    """Cluster-tier A/B, merged into the existing JSON: the main triple's
+    committed numbers (their own window) stay; this block carries its own
+    uptime so cross-block ratios are never read as same-window."""
+    results = {m: _run_mode(m) for m in ("ingest_clusters", "cluster_update")}
+    try:
+        with open("/proc/uptime") as f:
+            uptime_h = round(float(f.read().split()[0]) / 3600, 2)
+    except OSError:
+        uptime_h = None
+    cu = results["cluster_update"]
+    block = {
+        "protocol": "local[8] kperm 12g, fresh JVM per mode, one window",
+        "results": results,
+        "cluster_overhead_vs_classify": (
+            round(cu["elapsed_sec"] / cu["classify_sec"], 2)
+            if "elapsed_sec" in cu and cu.get("classify_sec") else None
+        ),
+        "uptime_h": uptime_h,
+    }
+    path = os.path.join(HERE, "incremental_ab.json")
+    with open(path) as f:
+        summary = json.load(f)
+    summary["cluster_ab"] = block
+    with open(path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(block))
 
 
 if __name__ == "__main__":

@@ -541,6 +541,71 @@ class DedupIndex:
         ).withColumn("cluster", F.col("doc_id"))
         return present.unionByName(missing)
 
+    def annotate_batch(
+        self,
+        pages: DataFrame,
+        res: IncrementalResult,
+        delta: ClusterDelta,
+        broadcast_batch: bool = True,
+    ) -> DataFrame:
+        """Every batch page annotated with its persistent cluster id —
+        the incremental analog of the batch pipeline's annotate sink
+        (same columns: url, warc_ts, html, text, lang, doc_id, usable,
+        cluster_id; 0 = unusable, webdedup.py convention).
+
+        Mapping: an exact-hit page follows its text group to the index's
+        first-seen doc and THAT doc's current cluster (one column-pruned
+        uniq scan probed against the broadcast hit-key set + a
+        clusters_of probe — the index is scanned, never shuffled); a
+        fresh page follows its batch text group to the delta's
+        assignment.  The wide page payload joins exactly once, at the
+        end, against the batch-bounded (text_hash, cluster) map."""
+        if not self.manifest.get("clusters"):
+            raise ValueError(
+                "index has no cluster map: build(with_clusters=True)"
+            )
+        spark = pages.sparkSession
+        min_len = max(self.cfg.shingle_k, 1)
+        url = F.col("url")
+        if self.cfg.canonicalize_urls:
+            from humid_spark.functions.urls import canonical_url
+
+            url = canonical_url(url)
+        docs = pages.withColumn("doc_id", F.xxhash64(url)).withColumn(
+            "usable",
+            F.col("text").isNotNull() & (F.length("text") >= min_len),
+        ).withColumn(
+            "text_hash",
+            F.when(F.col("usable"), F.xxhash64(F.col("text"))),
+        )
+
+        hit_keys = res.exact_hits.select("text_hash")
+        bhits = F.broadcast(hit_keys) if broadcast_batch else hit_keys
+        ihit = self.uniq(spark).select("text_hash", "doc_id").join(
+            bhits, "text_hash", "semi"
+        )
+        def _b(df):
+            return F.broadcast(df) if broadcast_batch else df
+
+        exact_map = ihit.join(
+            _b(self.clusters_of(
+                spark, ihit, broadcast_batch=broadcast_batch
+            )),
+            "doc_id",
+        ).select("text_hash", F.col("cluster").alias("cluster_id"))
+        fresh_map = res.batch_uniq.select("text_hash", "doc_id").join(
+            _b(delta.assignments), "doc_id"
+        ).select("text_hash", F.col("cluster").alias("cluster_id"))
+        tmap = exact_map.unionByName(fresh_map)
+        return (
+            docs.join(tmap, "text_hash", "left")
+            .withColumn(
+                "cluster_id", F.coalesce(F.col("cluster_id"), F.lit(0))
+            )
+            .select("url", "warc_ts", "html", "text", "lang", "doc_id",
+                    "usable", "cluster_id")
+        )
+
     def clusters(self, spark: SparkSession) -> DataFrame:
         """The resolved cluster map: (doc_id, cluster) for every fresh doc
         ever committed.  Merge-on-read: ONE broadcast left join applies the

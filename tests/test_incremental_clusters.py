@@ -182,6 +182,47 @@ def test_batch_bridge_merges_existing_clusters(spark, tmp_path):
     assert got3 == got
 
 
+def test_annotate_batch_per_page_clusters(cidx, spark):
+    """Every batch page gets a cluster_id: exact hits follow the index's
+    first-seen doc to its current cluster, fresh pages follow the delta,
+    unusable pages get the reserved 0 (webdedup annotate convention)."""
+    batch = _pages(
+        spark,
+        [
+            ("http://n/exact", OTHER),                  # exact re-entry
+            ("http://n/near", BASE + " tail words"),    # near-dup of BASE
+            ("http://n/fresh", FRESH_A),                # genuinely new
+            ("http://n/short", "tiny"),                 # unusable (< k)
+        ],
+    )
+    res = cidx.dedup_batch(batch)
+    delta = cidx.cluster_batch(res)
+    ann = cidx.annotate_batch(batch, res, delta)
+    assert set(ann.columns) == {
+        "url", "warc_ts", "html", "text", "lang", "doc_id", "usable",
+        "cluster_id",
+    }
+    got = {r["url"]: (r["usable"], r["cluster_id"]) for r in ann.collect()}
+    assert len(got) == 4
+    base_id = _doc_id("http://a/base", spark)
+    basenear_id = _doc_id("http://a/basenear", spark)
+    other_id = _doc_id("http://a/other", spark)
+    near_id = _doc_id("http://n/near", spark)
+    fresh_id = _doc_id("http://n/fresh", spark)
+    assert got["http://n/exact"] == (True, other_id)  # index identity
+    assert got["http://n/near"] == (
+        True, min(base_id, basenear_id, near_id)
+    )
+    assert got["http://n/fresh"] == (True, fresh_id)  # own singleton
+    assert got["http://n/short"] == (False, 0)
+    # plan hygiene holds on the user-facing surface too
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    res.release()
+    delta.release()
+
+
 def test_cluster_tier_guards(cidx, spark, tmp_path):
     batch = _pages(spark, [("http://g/x", FRESH_A)])
     res = cidx.dedup_batch(batch)

@@ -167,19 +167,7 @@ def main() -> None:
         _cluster_ab()
         return
 
-    results = {}
-    for mode in ("ingest", "classify", "full"):
-        env = dict(os.environ, SPARK_DRIVER_MEM="12g")
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", mode],
-            env=env, capture_output=True, text=True, timeout=7200,
-        )
-        line = [l for l in r.stdout.splitlines() if l.startswith("{")]
-        results[mode] = (
-            json.loads(line[-1]) if line
-            else {"error": r.stdout[-500:] + r.stderr[-500:]}
-        )
-        print(mode, "->", results[mode], flush=True)
+    results = {m: _run_mode(m) for m in ("ingest", "classify", "full")}
 
     try:
         with open("/proc/uptime") as f:

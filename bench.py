@@ -169,14 +169,20 @@ def q_incremental_cluster(spark: SparkSession, sf_dir: str) -> None:
     per-snapshot cost."""
     import shutil
 
-    res = _INCR_STATE.pop("res")
-    delta = _INCR_STATE["index"].cluster_batch(res)
-    _force(delta.assignments)
-    _force(delta.remap)
-    delta.release()
-    res.release()
-    shutil.rmtree(_INCR_STATE.pop("root"))
-    _INCR_STATE.clear()
+    try:
+        res = _INCR_STATE.pop("res")
+        delta = _INCR_STATE["index"].cluster_batch(res)
+        _force(delta.assignments)
+        _force(delta.remap)
+        delta.release()
+        res.release()
+    finally:
+        # unconditional teardown: a failure here must not leak the temp
+        # index dir or executor storage into the remaining headlines
+        root = _INCR_STATE.pop("root", None)
+        if root:
+            shutil.rmtree(root, ignore_errors=True)
+        _INCR_STATE.clear()
 
 
 def q_text_analytics(spark: SparkSession, sf_dir: str) -> None:

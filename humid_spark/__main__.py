@@ -192,6 +192,14 @@ def main(argv: list[str] | None = None) -> None:
                     )
             else:
                 idx = DedupIndex.load(args.index_dir, cfg)
+                if args.clusters and not idx.manifest.get("clusters"):
+                    # surface the mistake on the FIRST run, not months of
+                    # silently-unmaintained snapshots later
+                    raise SystemExit(
+                        "--clusters: the existing index has no cluster "
+                        "map (it was built without --clusters); rebuild "
+                        "the index to maintain one"
+                    )
                 if idx.has_batch(batch_id):
                     # replay of an already-ingested input: idempotent no-op
                     out = {"already_ingested": True, "batch_id": batch_id}
@@ -214,7 +222,9 @@ def main(argv: list[str] | None = None) -> None:
                     if idx.manifest.get("clusters"):
                         # map maintenance rides the same run: assignments
                         # for the operator, the delta for the atomic
-                        # append commit below
+                        # append commit below — which ingests the WRITTEN
+                        # assignments (the survivors discipline: index ==
+                        # sink, and the plan is not executed twice)
                         delta = idx.cluster_batch(res)
                         cobs = Observation()
                         (delta.assignments
@@ -222,6 +232,9 @@ def main(argv: list[str] | None = None) -> None:
                          .write.mode("overwrite")
                          .parquet(f"{args.out_dir}/clusters"))
                         out["clustered"] = int(cobs.get["rows"])
+                        delta.assignments = spark.read.parquet(
+                            f"{args.out_dir}/clusters"
+                        )
                     idx.append(
                         spark.read.parquet(f"{args.out_dir}/survivors"),
                         batch_id,

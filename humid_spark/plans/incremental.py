@@ -100,6 +100,7 @@ class IncrementalResult:
     survivors: DataFrame    # batch uniq rows that are NEW content vs the index
     demoted: DataFrame      # capped index-side (band, bucket) lineage
     fresh: DataFrame = None  # batch uniq rows past the exact tier (near + new)
+    fresh_buckets: DataFrame = None  # (doc_id, band, bucket) of fresh docs
     persisted: list = field(default_factory=list)
 
     def release(self) -> None:
@@ -180,13 +181,20 @@ class DedupIndex:
             cls._batch_dir(cls._bands_dir(root), batch_id)
         )
         if with_clusters:
-            # self-join the WRITTEN uniq table (no recompute, no lazy
-            # self-reference: the clusters write below reads only udir)
+            # self-join the WRITTEN tables (no recompute, no lazy
+            # self-reference: the clusters write below reads only this
+            # batch's uniq/bands dirs) — the band table was materialized
+            # one statement up; re-deriving it would pay the 16x explode
+            # + bucket hashing a second time over the whole corpus
             track: list = []
             try:
                 pairs = lsh.verify_pairs(
                     lsh.candidate_pairs(
-                        lsh.band_buckets(committed, cfg), cfg, track=track
+                        spark.read.schema(cls._BANDS_SCHEMA).parquet(
+                            cls._batch_dir(cls._bands_dir(root), batch_id)
+                        ),
+                        cfg,
+                        track=track,
                     ),
                     committed,
                     cfg,
@@ -217,8 +225,13 @@ class DedupIndex:
             "batches": [batch_id],
             "ingested": [batch_id],
             "clusters": bool(with_clusters),
-            # remap version 0 = empty: no merges recorded yet
+            # remap version 0 = empty: no merges recorded yet; remap_rows
+            # is the live table's row count — the metadata fact "merges
+            # pending" that compact()'s no-op check and clusters()' fast
+            # path read (a version counter alone can't say it: appends
+            # with zero merges don't bump it)
             "remap_v": 0,
+            "remap_rows": 0,
             "created_at": time.strftime(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             ),
@@ -250,6 +263,7 @@ class DedupIndex:
         # pre-cluster-tier manifests
         manifest.setdefault("clusters", False)
         manifest.setdefault("remap_v", 0)
+        manifest.setdefault("remap_rows", 0)
         if manifest["config_hash"] != cfg.config_hash():
             raise ValueError(
                 "config mismatch: index was built with config_hash="
@@ -380,6 +394,7 @@ class DedupIndex:
             near_pairs=near_pairs,
             survivors=survivors,
             fresh=fresh,
+            fresh_buckets=bbuckets,
             demoted=demoted_cross_buckets(
                 ibuckets,
                 bucket_cap=self.cfg.bucket_cap,
@@ -434,12 +449,15 @@ class DedupIndex:
         persisted: list = []
 
         fresh_sigs = res.fresh.select("doc_id", "minhash")
+        # the fresh band table was already derived in dedup_batch's cross
+        # tier — reuse the plan instead of paying the explode twice
+        bb = (
+            res.fresh_buckets
+            if res.fresh_buckets is not None
+            else lsh.band_buckets(fresh_sigs, self.cfg)
+        )
         internal = lsh.verify_pairs(
-            lsh.candidate_pairs(
-                lsh.band_buckets(fresh_sigs, self.cfg),
-                self.cfg,
-                track=persisted,
-            ),
+            lsh.candidate_pairs(bb, self.cfg, track=persisted),
             fresh_sigs,
             self.cfg,
         )
@@ -593,9 +611,16 @@ class DedupIndex:
             )),
             "doc_id",
         ).select("text_hash", F.col("cluster").alias("cluster_id"))
-        fresh_map = res.batch_uniq.select("text_hash", "doc_id").join(
+        # keyed off res.fresh, NOT batch_uniq: when one url carries both
+        # an indexed text and a new text in the same snapshot, both
+        # groups share the doc_id — joining batch_uniq on doc_id would
+        # hand the exact-hit group the fresh group's cluster too and fan
+        # the final text_hash join out to duplicate conflicting rows
+        # (.distinct(): one url carrying two NEW texts duplicates its
+        # doc_id in the assignments — same cluster, so dedupe is safe)
+        fresh_map = res.fresh.select("text_hash", "doc_id").join(
             _b(delta.assignments), "doc_id"
-        ).select("text_hash", F.col("cluster").alias("cluster_id"))
+        ).select("text_hash", F.col("cluster").alias("cluster_id")).distinct()
         tmap = exact_map.unionByName(fresh_map)
         return (
             docs.join(tmap, "text_hash", "left")
@@ -618,7 +643,7 @@ class DedupIndex:
         base = spark.read.schema(self._CLUSTERS_SCHEMA).parquet(
             *self._committed(self._clusters_dir(self.root))
         )
-        if not self.manifest.get("remap_v"):
+        if not self.manifest.get("remap_rows"):
             return base
         rm = self.remap(spark)
         return base.join(
@@ -693,6 +718,7 @@ class DedupIndex:
             ).parquet(
                 self._batch_dir(self._bands_dir(self.root), batch_id)
             )
+            n_remap = self.manifest.get("remap_rows", 0)
             if clusters is not None:
                 # same lazy-self-reference discipline: the delta's plans
                 # READ the committed cluster map and remap version — the
@@ -705,18 +731,29 @@ class DedupIndex:
                 arows.write.mode("overwrite").parquet(
                     self._batch_dir(self._clusters_dir(self.root), batch_id)
                 )
-                rrows.write.mode("overwrite").parquet(
-                    os.path.join(
-                        self._remaps_dir(self.root), f"v-{remap_v + 1}"
+                # composition only ever ADDS rows (new merges map current
+                # roots, which never appear as old keys), so an unchanged
+                # count means an unchanged table: a merge-free batch
+                # writes no remap version — the empty-remap fast path in
+                # clusters() and compact()'s no-op check stay meaningful
+                n_new = rrows.count()
+                if n_new != n_remap:
+                    rrows.write.mode("overwrite").parquet(
+                        os.path.join(
+                            self._remaps_dir(self.root), f"v-{remap_v + 1}"
+                        )
                     )
-                )
+                n_remap = n_new
         finally:
             for h in handles:
                 h.unpersist()
         self.manifest["batches"].append(batch_id)
         self.manifest["ingested"].append(batch_id)
-        if clusters is not None:
+        if clusters is not None and n_remap != self.manifest.get(
+            "remap_rows", 0
+        ):
             self.manifest["remap_v"] = remap_v + 1
+            self.manifest["remap_rows"] = n_remap
         self._write_manifest(self.root, self.manifest)
 
     def has_batch(self, batch_id: str) -> bool:
@@ -753,7 +790,7 @@ class DedupIndex:
         Returns False (no-op) when the index is already a single snapshot.
         """
         if len(self.manifest["batches"]) <= 1 and not self.manifest.get(
-            "remap_v"
+            "remap_rows"
         ):
             return False
         n = 1 + max(
@@ -778,14 +815,17 @@ class DedupIndex:
         )
         if self.manifest.get("clusters"):
             # fold the remaps in: the rewritten map is fully resolved, so
-            # the remap table resets to empty (version bump, no directory)
+            # the remap table resets to empty (version bump orphans the
+            # old directory; no new one is written)
             clusters = self.clusters(spark)
             if partitions:
                 clusters = clusters.repartition(partitions, "doc_id")
             clusters.write.mode("overwrite").parquet(
                 self._batch_dir(self._clusters_dir(self.root), cid)
             )
-            self.manifest["remap_v"] = self.manifest.get("remap_v", 0) + 1
+            if self.manifest.get("remap_rows"):
+                self.manifest["remap_v"] = self.manifest.get("remap_v", 0) + 1
+                self.manifest["remap_rows"] = 0
         self.manifest["batches"] = [cid]
         self._write_manifest(self.root, self.manifest)
         return True

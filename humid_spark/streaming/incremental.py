@@ -73,9 +73,11 @@ def stream_ingest(
         delta = None
         if index.manifest.get("clusters"):
             delta = index.cluster_batch(res)
-            delta.assignments.write.mode("overwrite").parquet(
-                os.path.join(base, "clusters")
-            )
+            cpath = os.path.join(base, "clusters")
+            delta.assignments.write.mode("overwrite").parquet(cpath)
+            # the append below ingests the WRITTEN assignments — the
+            # survivors discipline (index == sink, plan executed once)
+            delta.assignments = batch_df.sparkSession.read.parquet(cpath)
         # append from the WRITTEN table: the index ingests exactly what
         # the sink holds, and the survivors plan (a corpus-sized index
         # scan chain) is not executed a second time

@@ -143,6 +143,9 @@ def test_stream_ingest_maintains_cluster_map(spark, tmp_path):
         r["doc_id"]: r["cluster"] for r in idx.clusters(spark).collect()
     }
     assert got[f1] == got[near] == min(f1, near)
-    # the cross-micro-batch merge is a remap iff the later doc id is the
-    # smaller one (root relabel), else the map rows already agree
-    assert idx.manifest["remap_v"] == 2  # one version per appended batch
+    # the cross-micro-batch link is a root RELABEL (remap row) iff the
+    # later doc id is the smaller one; merge-free batches write no
+    # remap version at all
+    relabeled = near < f1
+    assert idx.manifest["remap_v"] == (1 if relabeled else 0)
+    assert (idx.manifest["remap_rows"] > 0) == relabeled

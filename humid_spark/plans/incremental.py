@@ -110,6 +110,39 @@ class IncrementalResult:
         for df in self.persisted:
             df.unpersist()
 
+    def funnel(self) -> DataFrame:
+        """(metric, value) tier counts for this snapshot — the incremental
+        analog of WebDedupResult.funnel(): batch_uniq -> exact_hits ->
+        near_dups -> survivors.  Join-free single-row-aggregate combination
+        (stack/union/re-aggregate — webdedup.py's no-cartesian shape)."""
+        parts = [
+            self.batch_uniq.agg(F.count(F.lit(1)).alias("v"))
+            .selectExpr("stack(1, 'batch_uniq', v) AS (m, v)"),
+            self.exact_hits.agg(F.count(F.lit(1)).alias("v"))
+            .selectExpr("stack(1, 'exact_hits', v) AS (m, v)"),
+            self.near_pairs.select("src").distinct()
+            .agg(F.count(F.lit(1)).alias("v"))
+            .selectExpr("stack(1, 'near_dups', v) AS (m, v)"),
+            self.survivors.agg(F.count(F.lit(1)).alias("v"))
+            .selectExpr("stack(1, 'survivors', v) AS (m, v)"),
+        ]
+        rows = parts[0]
+        for p in parts[1:]:
+            rows = rows.unionByName(p)
+        names = ("batch_uniq", "exact_hits", "near_dups", "survivors")
+        row = rows.agg(*[
+            F.max(F.when(F.col("m") == n, F.col("v"))).alias(n)
+            for n in names
+        ])
+        return row.selectExpr(
+            "stack(4, "
+            "'batch_uniq', batch_uniq, "
+            "'exact_hits', exact_hits, "
+            "'near_dups', near_dups, "
+            "'survivors', survivors"
+            ") AS (metric, value)"
+        )
+
 
 @dataclass
 class ClusterDelta:
@@ -621,7 +654,9 @@ class DedupIndex:
         fresh_map = res.fresh.select("text_hash", "doc_id").join(
             _b(delta.assignments), "doc_id"
         ).select("text_hash", F.col("cluster").alias("cluster_id")).distinct()
-        tmap = exact_map.unionByName(fresh_map)
+        # broadcast the batch-bounded map into the final join: the wide
+        # page payload (text/html) never enters an exchange at all
+        tmap = _b(exact_map.unionByName(fresh_map))
         return (
             docs.join(tmap, "text_hash", "left")
             .withColumn(

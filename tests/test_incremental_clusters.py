@@ -164,9 +164,12 @@ def test_batch_bridge_merges_existing_clusters(spark, tmp_path):
     }
     assert remap == {(c, root) for c in (xid, yid) if c != root}
 
-    # compaction folds the remap into the map and resets it
+    # compaction folds the remap into the map and resets it — and is
+    # idempotent (the remap_rows fact drives the no-op check, not the
+    # version counter)
     assert idx.compact(spark) is True
     assert idx.remap(spark).count() == 0
+    assert idx.compact(spark) is False
     got2 = {
         r_["doc_id"]: r_["cluster"] for r_ in idx.clusters(spark).collect()
     }

@@ -75,6 +75,10 @@ def test_batch_classification_and_append_convergence(index, spark):
     surv = res.survivors.collect()
     assert len(surv) == 1
     assert res.demoted.count() == 0
+    funnel = {r["metric"]: r["value"] for r in res.funnel().collect()}
+    assert funnel == {
+        "batch_uniq": 3, "exact_hits": 1, "near_dups": 1, "survivors": 1
+    }
 
     index.append(res.survivors, "b")
     res.release()

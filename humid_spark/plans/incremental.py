@@ -23,6 +23,9 @@ SURVEY.md §1.2) as a parquet table:
   <root>/remaps/v-N/   parquet (old_cluster, new_cluster), the tiny
                        root-resolved merge table applied at read time
                        (merge-on-read; compact folds it in and resets it)
+  <root>/deletes/v-N/  parquet (text_hash, doc_id) tombstones — row-level
+                       deletes applied at read time by one broadcast
+                       anti-join (`delete`; compact folds them physically)
 
 Each committed batch owns a subdirectory (`uniq/batch-<id>/`,
 `bands/batch-<id>/`); readers list ONLY the subdirectories the manifest
@@ -265,6 +268,9 @@ class DedupIndex:
             # with zero merges don't bump it)
             "remap_v": 0,
             "remap_rows": 0,
+            # same versioned-metadata pattern for row-level deletes
+            "delete_v": 0,
+            "delete_rows": 0,
             "created_at": time.strftime(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             ),
@@ -297,6 +303,8 @@ class DedupIndex:
         manifest.setdefault("clusters", False)
         manifest.setdefault("remap_v", 0)
         manifest.setdefault("remap_rows", 0)
+        manifest.setdefault("delete_v", 0)
+        manifest.setdefault("delete_rows", 0)
         if manifest["config_hash"] != cfg.config_hash():
             raise ValueError(
                 "config mismatch: index was built with config_hash="
@@ -678,6 +686,14 @@ class DedupIndex:
         base = spark.read.schema(self._CLUSTERS_SCHEMA).parquet(
             *self._committed(self._clusters_dir(self.root))
         )
+        if self.manifest.get("delete_rows"):
+            base = base.join(
+                F.broadcast(
+                    self._tombstones(spark).select("doc_id").distinct()
+                ),
+                "doc_id",
+                "anti",
+            )
         if not self.manifest.get("remap_rows"):
             return base
         rm = self.remap(spark)
@@ -799,6 +815,83 @@ class DedupIndex:
         after its rows were folded into a compaction snapshot."""
         return batch_id in self.manifest["ingested"]
 
+    # ---- row-level deletes (merge-on-read tombstones) ----------------------
+
+    def delete(self, docs: DataFrame) -> int:
+        """Remove pages from the index without rewriting it — takedown /
+        right-to-be-forgotten at corpus scale, the Iceberg equality-delete
+        discipline (file-based).
+
+        ``docs`` carries a ``url`` column (doc identity derives exactly as
+        ingest derives it, canonicalization included) or a ``doc_id``
+        column.  The matching uniq rows become (text_hash, doc_id)
+        TOMBSTONES in ``deletes/v-N/`` — resolved by ONE column-pruned
+        index scan probed against the broadcast keys, composed with the
+        existing tombstones, committed by the atomic manifest rename.
+        Returns the number of newly recorded tombstones.
+
+        Read semantics: `uniq` anti-joins the broadcast tombstone table,
+        so the exact tier no longer matches the content (a re-crawl of it
+        re-enters as fresh) and the verify join no longer returns the doc.
+        The BAND table is left permissive on purpose: band rows are
+        candidate hints, and a candidate whose signature row is gone dies
+        at the verify inner join — correctness lives at `uniq`, so the
+        read path stays one broadcast anti-join instead of three.  The
+        cluster map drops the doc's rows (by doc_id — with shared-url
+        identity a delete removes every text the url carried, the same
+        identity rule ingest uses).  `compact()` folds tombstones
+        physically (the rewrite reads the filtered views) and resets the
+        table; a byte-identical re-ingest is suppressed by the live
+        tombstone until that fold, and is new content after it.
+
+        Like the remap table, the tombstone table must stay broadcastable
+        — it is bounded by deletions since the last compact, and compact
+        resets it."""
+        spark = docs.sparkSession
+        if "doc_id" in docs.columns:
+            keys = docs.select("doc_id").distinct()
+        else:
+            url = F.col("url")
+            if self.cfg.canonicalize_urls:
+                from humid_spark.functions.urls import canonical_url
+
+                url = canonical_url(url)
+            keys = docs.select(F.xxhash64(url).alias("doc_id")).distinct()
+        from humid_spark.operators.cc import CheckpointHandle
+
+        hit = self.uniq(spark).select("text_hash", "doc_id").join(
+            F.broadcast(keys), "doc_id", "semi"
+        )
+        merged = (
+            hit.unionByName(self._tombstones(spark))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        handle = CheckpointHandle(merged)
+        try:
+            n_old = self.manifest.get("delete_rows", 0)
+            n_new = merged.count()
+            if n_new != n_old:
+                v = self.manifest.get("delete_v", 0) + 1
+                merged.write.mode("overwrite").parquet(
+                    os.path.join(self._deletes_dir(self.root), f"v-{v}")
+                )
+                self.manifest["delete_v"] = v
+                self.manifest["delete_rows"] = n_new
+                self._write_manifest(self.root, self.manifest)
+            return n_new - n_old
+        finally:
+            handle.unpersist()
+
+    _DELETES_SCHEMA = "text_hash long, doc_id long"
+
+    def _tombstones(self, spark: SparkSession) -> DataFrame:
+        v = self.manifest.get("delete_v", 0)
+        path = os.path.join(self._deletes_dir(self.root), f"v-{v}")
+        if v and os.path.isdir(path):
+            return spark.read.schema(self._DELETES_SCHEMA).parquet(path)
+        return spark.createDataFrame([], self._DELETES_SCHEMA)
+
     # ---- maintenance -------------------------------------------------------
 
     def compact(self, spark: SparkSession, partitions: int | None = None) -> bool:
@@ -824,8 +917,10 @@ class DedupIndex:
         for the cluster instead of inheriting per-batch parallelism.
         Returns False (no-op) when the index is already a single snapshot.
         """
-        if len(self.manifest["batches"]) <= 1 and not self.manifest.get(
-            "remap_rows"
+        if (
+            len(self.manifest["batches"]) <= 1
+            and not self.manifest.get("remap_rows")
+            and not self.manifest.get("delete_rows")
         ):
             return False
         n = 1 + max(
@@ -861,6 +956,11 @@ class DedupIndex:
             if self.manifest.get("remap_rows"):
                 self.manifest["remap_v"] = self.manifest.get("remap_v", 0) + 1
                 self.manifest["remap_rows"] = 0
+        if self.manifest.get("delete_rows"):
+            # the rewrites above read the tombstone-filtered views, so the
+            # deletions are now physical — version bump orphans the table
+            self.manifest["delete_v"] = self.manifest.get("delete_v", 0) + 1
+            self.manifest["delete_rows"] = 0
         self.manifest["batches"] = [cid]
         self._write_manifest(self.root, self.manifest)
         return True
@@ -890,11 +990,15 @@ class DedupIndex:
                 if d.startswith("batch-") and d not in keep and os.path.isdir(path):
                     shutil.rmtree(path)
                     removed.append(path)
-        rbase = self._remaps_dir(self.root)
-        if os.path.isdir(rbase):
-            live = f"v-{self.manifest.get('remap_v', 0)}"
-            for d in sorted(os.listdir(rbase)):
-                path = os.path.join(rbase, d)
+        for vbase, vkey in (
+            (self._remaps_dir(self.root), "remap_v"),
+            (self._deletes_dir(self.root), "delete_v"),
+        ):
+            if not os.path.isdir(vbase):
+                continue
+            live = f"v-{self.manifest.get(vkey, 0)}"
+            for d in sorted(os.listdir(vbase)):
+                path = os.path.join(vbase, d)
                 if d.startswith("v-") and d != live and os.path.isdir(path):
                     shutil.rmtree(path)
                     removed.append(path)
@@ -909,13 +1013,24 @@ class DedupIndex:
         # explicit schema: no footer inference, so a committed batch with
         # ZERO survivors (an empty parquet directory) reads as empty
         # instead of failing inference
-        return spark.read.schema(self._UNIQ_SCHEMA).parquet(
+        base = spark.read.schema(self._UNIQ_SCHEMA).parquet(
             *self._committed(self._uniq_dir(self.root))
+        )
+        if not self.manifest.get("delete_rows"):
+            return base
+        # merge-on-read tombstones: one broadcast anti-join over the scan
+        return base.join(
+            F.broadcast(self._tombstones(spark)),
+            ["text_hash", "doc_id"],
+            "anti",
         )
 
     def bands(self, spark: SparkSession) -> DataFrame:
         """The (doc_id, band, bucket) secondary index; derived on the fly
-        when the band table is absent (back-compat / manual deletion)."""
+        when the band table is absent (back-compat / manual deletion).
+        Deliberately PERMISSIVE of tombstones (`delete`): band rows are
+        candidate hints, and a candidate whose uniq row is gone dies at
+        the verify inner join — compact() drops the rows physically."""
         if os.path.exists(self._bands_dir(self.root)):
             return spark.read.schema(self._BANDS_SCHEMA).parquet(
                 *self._committed(self._bands_dir(self.root))
@@ -943,6 +1058,10 @@ class DedupIndex:
     @staticmethod
     def _remaps_dir(root: str) -> str:
         return os.path.join(root, "remaps")
+
+    @staticmethod
+    def _deletes_dir(root: str) -> str:
+        return os.path.join(root, "deletes")
 
     @staticmethod
     def _batch_dir(base: str, batch_id: str) -> str:

@@ -1,0 +1,114 @@
+"""Row-level deletes (merge-on-read tombstones): takedown semantics over
+the persistent DedupIndex — read-time suppression, verify-gate kill of
+band candidates, cluster-map removal, physical folding at compact."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from humid_spark.config import DedupConfig
+from humid_spark.plans.incremental import DedupIndex
+from tests.test_incremental_index import BASE, OTHER, _pages
+
+
+@pytest.fixture()
+def didx(spark, tmp_path):
+    cfg = DedupConfig()
+    corpus = _pages(
+        spark,
+        [("http://d/base", BASE), ("http://d/other", OTHER)],
+    )
+    return DedupIndex.build(
+        corpus, cfg, str(tmp_path / "didx"), with_clusters=True
+    )
+
+
+def test_delete_suppresses_all_tiers(didx, spark):
+    n0 = didx.uniq(spark).count()
+    assert n0 == 2
+    removed = didx.delete(
+        spark.createDataFrame([("http://d/base",)], "url string")
+    )
+    assert removed == 1
+    assert didx.uniq(spark).count() == 1
+    # idempotent: deleting again records nothing new
+    assert didx.delete(
+        spark.createDataFrame([("http://d/base",)], "url string")
+    ) == 0
+
+    # exact tier: the deleted content re-enters as FRESH
+    batch = _pages(spark, [("http://e/recrawl", BASE)])
+    res = didx.dedup_batch(batch)
+    assert res.exact_hits.count() == 0
+    assert res.survivors.count() == 1
+    # near tier: a near-dup of the deleted doc finds NOTHING — the band
+    # candidate dies at the verify join (bands stay permissive)
+    res.release()
+    res2 = didx.dedup_batch(
+        _pages(spark, [("http://e/near", BASE + " tail words")])
+    )
+    assert res2.near_pairs.count() == 0
+    assert res2.survivors.count() == 1
+    res2.release()
+    # cluster map: the doc's row is gone
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ids = {r["doc_id"] for r in didx.clusters(spark).collect()}
+    base_id = spark.createDataFrame(
+        [("http://d/base",)], "url string"
+    ).select(F.xxhash64("url")).first()[0]
+    assert base_id not in ids and len(ids) == 1
+
+    # reload sees the tombstones (manifest round-trip)
+    again = DedupIndex.load(didx.root, DedupConfig())
+    assert again.manifest["delete_rows"] == 1
+    assert again.uniq(spark).count() == 1
+
+
+def test_delete_durable_until_compact_then_physical(didx, spark):
+    didx.delete(spark.createDataFrame([("http://d/base",)], "url string"))
+
+    # a byte-identical re-ingest is suppressed by the live tombstone:
+    # the row lands in storage but every reader filters it
+    res = didx.dedup_batch(_pages(spark, [("http://d/base", BASE)]))
+    delta = didx.cluster_batch(res)
+    didx.append(res.survivors, "reingest", clusters=delta)
+    res.release()
+    delta.release()
+    assert didx.uniq(spark).count() == 1  # still suppressed
+
+    # compact folds the tombstones physically and resets the table
+    assert didx.compact(spark) is True
+    assert didx.manifest["delete_rows"] == 0
+    assert didx.uniq(spark).count() == 1
+    raw = spark.read.schema(DedupIndex._UNIQ_SCHEMA).parquet(
+        *[os.path.join(didx.root, "uniq", f"batch-{b}")
+          for b in didx.manifest["batches"]]
+    )
+    assert raw.count() == 1  # physically gone, not just filtered
+    removed = didx.vacuum()
+    assert any("deletes" in p for p in removed)
+
+    # after the fold, re-ingested content is new content again
+    res2 = didx.dedup_batch(_pages(spark, [("http://d/base2", BASE)]))
+    delta2 = didx.cluster_batch(res2)
+    didx.append(res2.survivors, "fresh-again", clusters=delta2)
+    res2.release()
+    delta2.release()
+    assert didx.uniq(spark).count() == 2
+
+
+def test_delete_by_doc_id_and_plan_shape(didx, spark):
+    base_id = spark.createDataFrame(
+        [("http://d/other",)], "url string"
+    ).select(F.xxhash64("url").alias("doc_id"))
+    assert didx.delete(base_id) == 1
+    # the tombstone read path is one broadcast anti-join over the scan —
+    # no exchange of the index, no cartesian
+    plan = didx.uniq(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

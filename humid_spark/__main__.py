@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--index-dir", default=None,
                    help="incremental mode: the persistent DedupIndex "
                         "directory")
+    p.add_argument("--delete", action="store_true",
+                   help="incremental mode: treat the input as a TAKEDOWN "
+                        "list instead of a snapshot — tombstone its rows "
+                        "in the index (url or doc_id column; merge-on-read"
+                        ", folded physically by the next --compact-after)")
     p.add_argument("--clusters", action="store_true",
                    help="incremental mode, first run only: bootstrap a "
                         "persistent cluster map alongside the index "
@@ -172,13 +177,18 @@ def main(argv: list[str] | None = None) -> None:
 
             from humid_spark.plans.incremental import DedupIndex
 
-            batch_id = input_snapshot_of(args.files)
-            if not os.path.exists(
+            if args.delete:
+                # takedown run: the input is the delete list, not a batch
+                idx = DedupIndex.load(args.index_dir, cfg)
+                out = {"deleted": idx.delete(pages),
+                       "tombstones": idx.manifest["delete_rows"]}
+            elif not os.path.exists(
                 DedupIndex._manifest_path(args.index_dir)
             ):
                 # the bootstrap corpus is recorded under its own input
                 # snapshot, so re-running the identical first command is
                 # the same idempotent no-op as any later replay
+                batch_id = input_snapshot_of(args.files)
                 idx = DedupIndex.build(
                     pages, cfg, args.index_dir, batch_id=batch_id,
                     with_clusters=args.clusters,
@@ -191,6 +201,7 @@ def main(argv: list[str] | None = None) -> None:
                         .distinct().count()
                     )
             else:
+                batch_id = input_snapshot_of(args.files)
                 idx = DedupIndex.load(args.index_dir, cfg)
                 if args.clusters and not idx.manifest.get("clusters"):
                     # surface the mistake on the FIRST run, not months of

@@ -255,6 +255,73 @@ def test_cli_incremental_clusters(spark, tmp_path):
     assert "compacted" not in s4["outputs"]
 
 
+def test_cli_incremental_delete(spark, tmp_path):
+    """--delete: the input is a takedown list; the tombstoned content
+    re-enters as fresh on the next snapshot, and --compact-after folds
+    the tombstones physically."""
+    from datetime import datetime
+
+    from humid_spark.sources.pages import to_spark
+
+    # explicit corpus: the victim's content must have NO duplicate family
+    # (fx_webtext plants exact/near twins, which would absorb the
+    # re-entry), so hand-build distinct texts
+    ts = datetime(2024, 1, 1)
+    victim_text = (
+        "a wholly unique takedown target document about regulated content "
+        "that must disappear from the index and stay suppressed at read"
+    )
+    rows = [
+        {"url": "http://t/victim", "warc_ts": ts, "html": None,
+         "text": victim_text, "lang": "en"},
+        {"url": "http://t/keep", "warc_ts": ts, "html": None,
+         "text": ("another entirely unrelated page on columnar storage "
+                  "engines and vectorized execution with adaptive plans"),
+         "lang": "en"},
+    ]
+    corpus_src = str(tmp_path / "corpus")
+    to_spark(spark, rows).write.parquet(corpus_src)
+    takedown_src = str(tmp_path / "takedown")
+    spark.createDataFrame([("http://t/victim",)], "url string").write.parquet(
+        takedown_src
+    )
+    idx_dir, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    log = str(tmp_path / "run.log")
+    env = dict(os.environ, PYTHONPATH=ROOT)
+
+    def run(src, *extra):
+        res = subprocess.run(
+            [sys.executable, "-m", "humid_spark", "--mode", "incremental",
+             "--index-dir", idx_dir, "-l", log, "--cores", "4",
+             "-d", out, src, *extra],
+            cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=300,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        with open(log) as f:
+            return json.loads(f.read().strip().splitlines()[-1])
+
+    run(corpus_src)  # bootstrap
+    s = run(takedown_src, "--delete")
+    assert s["outputs"] == {"deleted": 1, "tombstones": 1}
+    # replaying the takedown records nothing new (idempotent)
+    s2 = run(takedown_src, "--delete")
+    assert s2["outputs"] == {"deleted": 0, "tombstones": 1}
+    # the victim's content re-enters as a survivor on the next snapshot
+    reentry_src = str(tmp_path / "reentry")
+    to_spark(
+        spark, [dict(rows[0], url="http://reentry/x")]
+    ).write.parquet(reentry_src)  # same text, new url
+    s3 = run(reentry_src)
+    assert s3["outputs"]["survivors"] == 1
+    # maintenance folds the tombstones physically
+    s4 = run(takedown_src, "--delete", "--compact-after", "1")
+    assert s4["outputs"]["compacted"] is True
+    with open(os.path.join(idx_dir, "_index.json")) as f:
+        man = json.load(f)
+    assert man["delete_rows"] == 0
+
+
 def test_cli_curate_mode(spark, tmp_path):
     """--mode curate writes curated pages + the tier funnel; with -s the
     funnel rides the summary and its identities hold."""

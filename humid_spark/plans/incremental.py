@@ -817,7 +817,7 @@ class DedupIndex:
 
     # ---- row-level deletes (merge-on-read tombstones) ----------------------
 
-    def delete(self, docs: DataFrame) -> int:
+    def delete(self, docs: DataFrame, broadcast_keys: bool = True) -> int:
         """Remove pages from the index without rewriting it — takedown /
         right-to-be-forgotten at corpus scale, the Iceberg equality-delete
         discipline (file-based).
@@ -846,7 +846,9 @@ class DedupIndex:
 
         Like the remap table, the tombstone table must stay broadcastable
         — it is bounded by deletions since the last compact, and compact
-        resets it."""
+        resets it.  ``broadcast_keys=False`` degrades the key probe to a
+        shuffle semi-join for a takedown list too large to broadcast its
+        distinct ids (same switch contract as dedup_batch)."""
         spark = docs.sparkSession
         if "doc_id" in docs.columns:
             keys = docs.select("doc_id").distinct()
@@ -857,10 +859,12 @@ class DedupIndex:
 
                 url = canonical_url(url)
             keys = docs.select(F.xxhash64(url).alias("doc_id")).distinct()
+        if broadcast_keys:
+            keys = F.broadcast(keys)
         from humid_spark.operators.cc import CheckpointHandle
 
         hit = self.uniq(spark).select("text_hash", "doc_id").join(
-            F.broadcast(keys), "doc_id", "semi"
+            keys, "doc_id", "semi"
         )
         merged = (
             hit.unionByName(self._tombstones(spark))

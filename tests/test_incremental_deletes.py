@@ -101,6 +101,45 @@ def test_delete_durable_until_compact_then_physical(didx, spark):
     assert didx.uniq(spark).count() == 2
 
 
+def test_tombstoned_index_still_never_shuffles(didx, spark):
+    """The no-index-SHUFFLE contract survives live tombstones.  The
+    tombstone table's own scan shares the (text_hash, doc_id) ReadSchema
+    with the pruned exact-tier index scan and legitimately sits under a
+    BroadcastExchange (it is batch-bounded by design), so this pin allows
+    broadcasts and forbids exactly the scale-killer: a shuffle between
+    any such scan and its join."""
+    from tests.test_incremental_index import _plan_nodes
+
+    didx.delete(spark.createDataFrame([("http://d/base",)], "url string"))
+    res = didx.dedup_batch(
+        _pages(spark, [("http://f/x", OTHER + " tail"), ("http://f/y", BASE)])
+    )
+    import re
+
+    nodes = _plan_nodes(res.survivors)
+    found = 0
+    for i, (d, t) in enumerate(nodes):
+        m = re.search(r"FileScan parquet .*?ReadSchema: struct<([^\n]*)", t)
+        if not m or not (
+            m.group(1).startswith("text_hash:bigint")
+            and "minhash" not in m.group(1)
+        ):
+            continue
+        found += 1
+        depth = d
+        for j in range(i - 1, -1, -1):
+            dj, tj = nodes[j]
+            if dj < depth:
+                depth = dj
+                assert "Exchange hashpartitioning" not in tj, (
+                    f"tombstoned index scan shuffled before its join: {tj}"
+                )
+                if "Join" in tj:
+                    break
+    assert found >= 2  # the index exact-tier scan AND the tombstone scan
+    res.release()
+
+
 def test_delete_by_doc_id_and_plan_shape(didx, spark):
     base_id = spark.createDataFrame(
         [("http://d/other",)], "url string"

@@ -177,8 +177,16 @@ def main(argv: list[str] | None = None) -> None:
 
             from humid_spark.plans.incremental import DedupIndex
 
+            batch_id = input_snapshot_of(args.files)
             if args.delete:
                 # takedown run: the input is the delete list, not a batch
+                if not os.path.exists(
+                    DedupIndex._manifest_path(args.index_dir)
+                ):
+                    raise SystemExit(
+                        "--delete: no index exists at --index-dir; build "
+                        "one first (run without --delete)"
+                    )
                 idx = DedupIndex.load(args.index_dir, cfg)
                 out = {"deleted": idx.delete(pages),
                        "tombstones": idx.manifest["delete_rows"]}
@@ -188,7 +196,6 @@ def main(argv: list[str] | None = None) -> None:
                 # the bootstrap corpus is recorded under its own input
                 # snapshot, so re-running the identical first command is
                 # the same idempotent no-op as any later replay
-                batch_id = input_snapshot_of(args.files)
                 idx = DedupIndex.build(
                     pages, cfg, args.index_dir, batch_id=batch_id,
                     with_clusters=args.clusters,
@@ -201,7 +208,6 @@ def main(argv: list[str] | None = None) -> None:
                         .distinct().count()
                     )
             else:
-                batch_id = input_snapshot_of(args.files)
                 idx = DedupIndex.load(args.index_dir, cfg)
                 if args.clusters and not idx.manifest.get("clusters"):
                     # surface the mistake on the FIRST run, not months of

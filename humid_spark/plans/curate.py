@@ -41,24 +41,14 @@ class CurationResult:
 
     def funnel(self) -> DataFrame:
         """(metric, value) rows: the curation tiers prepended to the web
-        pipeline's own dedup funnel (same join-free stack/union shape —
-        a crossJoin would breach the no-cartesian hygiene bar)."""
-        pre = (
-            self.pages.agg(F.count(F.lit(1)).alias("n_input"))
-            .selectExpr("stack(1, 'n_input', n_input) AS (m, v)")
-            .unionByName(
-                self.gated.agg(F.count(F.lit(1)).alias("gated"))
-                .selectExpr("stack(1, 'gated', gated) AS (m, v)")
-            )
-            .unionByName(
-                self.sampled.agg(F.count(F.lit(1)).alias("sampled"))
-                .selectExpr("stack(1, 'sampled', sampled) AS (m, v)")
-            )
-        )
-        names = ("n_input", "gated", "sampled")
-        row = pre.agg(*[
-            F.max(F.when(F.col("m") == n, F.col("v"))).alias(n)
-            for n in names
+        pipeline's own dedup funnel (combine_single_rows' join-free
+        shape — a crossJoin would breach the no-cartesian hygiene bar)."""
+        from humid_spark.functions.rows import combine_single_rows
+
+        row = combine_single_rows([
+            self.pages.agg(F.count(F.lit(1)).alias("n_input")),
+            self.gated.agg(F.count(F.lit(1)).alias("gated")),
+            self.sampled.agg(F.count(F.lit(1)).alias("sampled")),
         ])
         head = row.selectExpr(
             "stack(3, "

@@ -116,26 +116,16 @@ class IncrementalResult:
     def funnel(self) -> DataFrame:
         """(metric, value) tier counts for this snapshot — the incremental
         analog of WebDedupResult.funnel(): batch_uniq -> exact_hits ->
-        near_dups -> survivors.  Join-free single-row-aggregate combination
-        (stack/union/re-aggregate — webdedup.py's no-cartesian shape)."""
-        parts = [
-            self.batch_uniq.agg(F.count(F.lit(1)).alias("v"))
-            .selectExpr("stack(1, 'batch_uniq', v) AS (m, v)"),
-            self.exact_hits.agg(F.count(F.lit(1)).alias("v"))
-            .selectExpr("stack(1, 'exact_hits', v) AS (m, v)"),
+        near_dups -> survivors.  combine_single_rows keeps the combination
+        join-free (the no-cartesian hygiene shape)."""
+        from humid_spark.functions.rows import combine_single_rows
+
+        row = combine_single_rows([
+            self.batch_uniq.agg(F.count(F.lit(1)).alias("batch_uniq")),
+            self.exact_hits.agg(F.count(F.lit(1)).alias("exact_hits")),
             self.near_pairs.select("src").distinct()
-            .agg(F.count(F.lit(1)).alias("v"))
-            .selectExpr("stack(1, 'near_dups', v) AS (m, v)"),
-            self.survivors.agg(F.count(F.lit(1)).alias("v"))
-            .selectExpr("stack(1, 'survivors', v) AS (m, v)"),
-        ]
-        rows = parts[0]
-        for p in parts[1:]:
-            rows = rows.unionByName(p)
-        names = ("batch_uniq", "exact_hits", "near_dups", "survivors")
-        row = rows.agg(*[
-            F.max(F.when(F.col("m") == n, F.col("v"))).alias(n)
-            for n in names
+            .agg(F.count(F.lit(1)).alias("near_dups")),
+            self.survivors.agg(F.count(F.lit(1)).alias("survivors")),
         ])
         return row.selectExpr(
             "stack(4, "
@@ -713,6 +703,15 @@ class DedupIndex:
         stay broadcastable, and `compact` resets it to empty."""
         v = self.manifest.get("remap_v", 0)
         path = os.path.join(self._remaps_dir(self.root), f"v-{v}")
+        if self.manifest.get("remap_rows") and not os.path.isdir(path):
+            # reading a missing live table as empty would silently
+            # un-merge every recorded relabel — storage/manifest mismatch
+            # is corruption, not emptiness
+            raise ValueError(
+                f"index corrupt: manifest records "
+                f"{self.manifest['remap_rows']} remap rows but {path} "
+                "is missing"
+            )
         if v and os.path.isdir(path):
             return spark.read.schema(self._REMAP_SCHEMA).parquet(path)
         return spark.createDataFrame([], self._REMAP_SCHEMA)
@@ -822,13 +821,23 @@ class DedupIndex:
         right-to-be-forgotten at corpus scale, the Iceberg equality-delete
         discipline (file-based).
 
-        ``docs`` carries a ``url`` column (doc identity derives exactly as
-        ingest derives it, canonicalization included) or a ``doc_id``
-        column.  The matching uniq rows become (text_hash, doc_id)
-        TOMBSTONES in ``deletes/v-N/`` — resolved by ONE column-pruned
-        index scan probed against the broadcast keys, composed with the
-        existing tombstones, committed by the atomic manifest rename.
-        Returns the number of newly recorded tombstones.
+        ``docs`` names what to remove, by IDENTITY and/or by CONTENT:
+        a ``doc_id`` or ``url`` column (identity derives exactly as
+        ingest derives it, canonicalization included) targets those docs;
+        a ``text`` column additionally targets every uniq row holding
+        that content — the right tool when the exact-collapse kept the
+        content under a DIFFERENT url's doc_id (ingest keeps one
+        representative per text, so an identity-only takedown of the
+        non-representative url would silently miss the served copy).
+        The matching uniq rows become (text_hash, doc_id) TOMBSTONES in
+        ``deletes/v-N/`` — resolved by column-pruned index scans probed
+        against the broadcast keys — alongside bare
+        (text_hash=NULL, doc_id) rows for requested identities present in
+        the cluster map, which never match a uniq row but DO scrub the
+        map rows of docs that were dropped as near-dups (they have map
+        rows and no uniq rows).  Composed with the existing
+        tombstones, committed by the atomic manifest rename.  Returns the
+        number of newly recorded tombstones.
 
         Read semantics: `uniq` anti-joins the broadcast tombstone table,
         so the exact tier no longer matches the content (a re-crawl of it
@@ -850,22 +859,55 @@ class DedupIndex:
         shuffle semi-join for a takedown list too large to broadcast its
         distinct ids (same switch contract as dedup_batch)."""
         spark = docs.sparkSession
+
+        def _b(df):
+            return F.broadcast(df) if broadcast_keys else df
+
+        uniq = self.uniq(spark).select("text_hash", "doc_id")
+        parts = []
+        keys = None
         if "doc_id" in docs.columns:
             keys = docs.select("doc_id").distinct()
-        else:
+        elif "url" in docs.columns:
             url = F.col("url")
             if self.cfg.canonicalize_urls:
                 from humid_spark.functions.urls import canonical_url
 
                 url = canonical_url(url)
             keys = docs.select(F.xxhash64(url).alias("doc_id")).distinct()
-        if broadcast_keys:
-            keys = F.broadcast(keys)
+        if keys is not None:
+            parts.append(uniq.join(_b(keys), "doc_id", "semi"))
+            if self.manifest.get("clusters"):
+                # scrub map rows of docs that were DROPPED as near-dups:
+                # they have cluster rows but no uniq row, so the identity
+                # probe above cannot reach them; restricted to ids the
+                # map actually holds, so garbage requests record nothing
+                parts.append(
+                    self.clusters(spark)
+                    .select("doc_id")
+                    .join(_b(keys), "doc_id", "semi")
+                    .distinct()
+                    .select(
+                        F.lit(None).cast("long").alias("text_hash"),
+                        "doc_id",
+                    )
+                )
+        if "text" in docs.columns:
+            tkeys = (
+                docs.filter(F.col("text").isNotNull())
+                .select(F.xxhash64("text").alias("text_hash"))
+                .distinct()
+            )
+            parts.append(uniq.join(_b(tkeys), "text_hash", "semi"))
+        if not parts:
+            raise ValueError(
+                "delete needs a doc_id, url, or text column to target"
+            )
         from humid_spark.operators.cc import CheckpointHandle
 
-        hit = self.uniq(spark).select("text_hash", "doc_id").join(
-            keys, "doc_id", "semi"
-        )
+        hit = parts[0]
+        for p in parts[1:]:
+            hit = hit.unionByName(p)
         merged = (
             hit.unionByName(self._tombstones(spark))
             .distinct()
@@ -892,6 +934,15 @@ class DedupIndex:
     def _tombstones(self, spark: SparkSession) -> DataFrame:
         v = self.manifest.get("delete_v", 0)
         path = os.path.join(self._deletes_dir(self.root), f"v-{v}")
+        if self.manifest.get("delete_rows") and not os.path.isdir(path):
+            # a missing live tombstone table read as empty would silently
+            # RESURRECT every taken-down row (and corrupt the next
+            # delete()'s composition) — raise, never guess
+            raise ValueError(
+                f"index corrupt: manifest records "
+                f"{self.manifest['delete_rows']} tombstones but {path} "
+                "is missing"
+            )
         if v and os.path.isdir(path):
             return spark.read.schema(self._DELETES_SCHEMA).parquet(path)
         return spark.createDataFrame([], self._DELETES_SCHEMA)
@@ -937,13 +988,24 @@ class DedupIndex:
         )
         cid = f"compact-{n}"
         uniq = self.uniq(spark)
-        bands = self.bands(spark)
         if partitions:
             uniq = uniq.repartition(partitions, "text_hash")
+        udir = self._batch_dir(self._uniq_dir(self.root), cid)
+        uniq.write.mode("overwrite").parquet(udir)
+        if self.manifest.get("delete_rows"):
+            # the band table is tombstone-PERMISSIVE at read time, so the
+            # fold must re-derive it from the filtered uniq (reading the
+            # just-written snapshot — not yet in any reader's path) or
+            # deleted docs' band rows would survive every compaction,
+            # eating bucket_cap slots forever.  Re-paying the explode is
+            # the honest cost of a physical fold.
+            bands = lsh.band_buckets(
+                spark.read.schema(self._UNIQ_SCHEMA).parquet(udir), self.cfg
+            )
+        else:
+            bands = self.bands(spark)
+        if partitions:
             bands = bands.repartition(partitions, "band", "bucket")
-        uniq.write.mode("overwrite").parquet(
-            self._batch_dir(self._uniq_dir(self.root), cid)
-        )
         bands.write.mode("overwrite").parquet(
             self._batch_dir(self._bands_dir(self.root), cid)
         )

@@ -82,36 +82,21 @@ class WebDedupResult:
         persisted, so the only new work is small aggregations); the
         contract query `web_dedup_funnel` hash-checks the same chain
         against a full SQL replay.  All six values are longs."""
-        # the three single-row aggregates combine JOIN-FREE: each unpivots
-        # to (m, v) rows, the union re-aggregates to one row.  (A crossJoin
-        # — or an equi-join on a literal key, which Catalyst constant-folds
-        # back into one — plans as BroadcastNestedLoopJoin and would breach
-        # the repo-wide "no CartesianProduct anywhere" hygiene assertion.)
-        stats = self.uniq.agg(
-            F.sum("count").cast("long").alias("total_usable"),
-            F.count(F.lit(1)).alias("exact_unique"),
-        ).selectExpr(
-            "stack(2, 'total_usable', total_usable, "
-            "'exact_unique', exact_unique) AS (m, v)"
-        )
-        ecnt = self.pairs.agg(
-            F.count(F.lit(1)).alias("near_edges")
-        ).selectExpr("stack(1, 'near_edges', near_edges) AS (m, v)")
-        ccs = self.clusters.select(
-            F.col("rep_doc_id").alias("doc_id"), "cluster_id"
-        ).distinct().agg(
-            F.count(F.lit(1)).alias("cc_nodes"),
-            F.countDistinct("cluster_id").alias("cc_comps"),
-        ).selectExpr(
-            "stack(2, 'cc_nodes', cc_nodes, 'cc_comps', cc_comps) AS (m, v)"
-        )
-        one = stats.unionByName(ecnt).unionByName(ccs).agg(
-            *[
-                F.max(F.when(F.col("m") == m, F.col("v"))).alias(m)
-                for m in ("total_usable", "exact_unique", "near_edges",
-                          "cc_nodes", "cc_comps")
-            ]
-        )
+        from humid_spark.functions.rows import combine_single_rows
+
+        one = combine_single_rows([
+            self.uniq.agg(
+                F.sum("count").cast("long").alias("total_usable"),
+                F.count(F.lit(1)).alias("exact_unique"),
+            ),
+            self.pairs.agg(F.count(F.lit(1)).alias("near_edges")),
+            self.clusters.select(
+                F.col("rep_doc_id").alias("doc_id"), "cluster_id"
+            ).distinct().agg(
+                F.count(F.lit(1)).alias("cc_nodes"),
+                F.countDistinct("cluster_id").alias("cc_comps"),
+            ),
+        ])
         return one.selectExpr(
             "stack(6, "
             "'total_usable', total_usable, "

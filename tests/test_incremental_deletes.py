@@ -32,7 +32,9 @@ def test_delete_suppresses_all_tiers(didx, spark):
     removed = didx.delete(
         spark.createDataFrame([("http://d/base",)], "url string")
     )
-    assert removed == 1
+    # the resolved uniq row + the bare identity row that scrubs the
+    # cluster map (this index maintains one)
+    assert removed == 2
     assert didx.uniq(spark).count() == 1
     # idempotent: deleting again records nothing new
     assert didx.delete(
@@ -64,7 +66,7 @@ def test_delete_suppresses_all_tiers(didx, spark):
 
     # reload sees the tombstones (manifest round-trip)
     again = DedupIndex.load(didx.root, DedupConfig())
-    assert again.manifest["delete_rows"] == 1
+    assert again.manifest["delete_rows"] == 2
     assert again.uniq(spark).count() == 1
 
 
@@ -140,11 +142,70 @@ def test_tombstoned_index_still_never_shuffles(didx, spark):
     res.release()
 
 
+def test_delete_by_content_reaches_the_representative(spark, tmp_path):
+    """Exact-collapse keeps ONE doc per text: an identity-only takedown
+    of the non-representative url misses the served copy, a content
+    takedown (text column) reaches it regardless of which url won."""
+    cfg = DedupConfig()
+    idx = DedupIndex.build(
+        _pages(
+            spark,
+            [("http://c/a", BASE), ("http://c/b", BASE),  # exact twins
+             ("http://c/other", OTHER)],
+        ),
+        cfg,
+        str(tmp_path / "cidx"),
+    )
+    assert idx.uniq(spark).count() == 2
+    rep_id = idx.uniq(spark).filter(
+        F.col("text_hash") == F.xxhash64(F.lit(BASE))
+    ).first()["doc_id"]
+    ids = {
+        u: spark.createDataFrame([(u,)], "url string")
+        .select(F.xxhash64("url")).first()[0]
+        for u in ("http://c/a", "http://c/b")
+    }
+    loser_url = next(u for u, i in ids.items() if i != rep_id)
+    # identity-only: the loser url resolves to no uniq row -> no-op
+    assert idx.delete(
+        spark.createDataFrame([(loser_url,)], "url string")
+    ) == 0
+    assert idx.uniq(spark).count() == 2
+    # content takedown: url AND text -> the representative row dies
+    assert idx.delete(
+        spark.createDataFrame([(loser_url, BASE)], "url string, text string")
+    ) == 1
+    assert idx.uniq(spark).count() == 1
+
+
+def test_delete_scrubs_dropped_near_dup_map_rows(didx, spark):
+    """A doc dropped as a near-dup has a cluster-map row but no uniq row;
+    deleting its identity scrubs the map row via the bare-identity
+    tombstone."""
+    res = didx.dedup_batch(
+        _pages(spark, [("http://nd/x", BASE + " tail words")])
+    )
+    delta = didx.cluster_batch(res)
+    didx.append(res.survivors, "nd", clusters=delta)
+    res.release()
+    delta.release()
+    nd_id = spark.createDataFrame(
+        [("http://nd/x",)], "url string"
+    ).select(F.xxhash64("url")).first()[0]
+    assert nd_id in {r["doc_id"] for r in didx.clusters(spark).collect()}
+    assert didx.delete(
+        spark.createDataFrame([("http://nd/x",)], "url string")
+    ) == 1  # no uniq row — exactly the bare identity tombstone
+    assert nd_id not in {
+        r["doc_id"] for r in didx.clusters(spark).collect()
+    }
+
+
 def test_delete_by_doc_id_and_plan_shape(didx, spark):
     base_id = spark.createDataFrame(
         [("http://d/other",)], "url string"
     ).select(F.xxhash64("url").alias("doc_id"))
-    assert didx.delete(base_id) == 1
+    assert didx.delete(base_id) == 2  # uniq row + map-scrub identity row
     # the tombstone read path is one broadcast anti-join over the scan —
     # no exchange of the index, no cartesian
     plan = didx.uniq(spark)._jdf.queryExecution().executedPlan().toString()

@@ -185,6 +185,47 @@ def test_batch_bridge_merges_existing_clusters(spark, tmp_path):
     assert got3 == got
 
 
+@pytest.mark.parametrize("seed", [7, 19])
+def test_randomized_split_parity_with_full_rebuild(spark, tmp_path, seed):
+    """Randomized topologies: split a realistic near-dup corpus
+    (fx_webtext plants exact/near families that STRADDLE the split), run
+    build -> dedup_batch -> cluster_batch -> append, and demand the
+    committed map equals a from-scratch with_clusters build over the
+    union.  Cross-split exact twins are pre-dropped from the batch: the
+    incremental tier keeps first-seen identity for exact groups while a
+    full rebuild picks the global min doc_id — a labeling difference, not
+    a clustering one, excluded by construction so the maps compare
+    directly."""
+    from humid_spark.sources.pages import fx_webtext, to_spark
+
+    rows = fx_webtext(n_seeds=30, seed=seed)
+    corpus_rows = rows[0::2]
+    corpus_texts = {r["text"] for r in corpus_rows}
+    batch_rows = [r for r in rows[1::2] if r["text"] not in corpus_texts]
+    cfg = DedupConfig()
+    idx = DedupIndex.build(
+        to_spark(spark, corpus_rows), cfg,
+        str(tmp_path / f"r{seed}"), with_clusters=True,
+    )
+    res = idx.dedup_batch(to_spark(spark, batch_rows))
+    delta = idx.cluster_batch(res)
+    idx.append(res.survivors, "b", clusters=delta)
+    res.release()
+    delta.release()
+    got = {r["doc_id"]: r["cluster"] for r in idx.clusters(spark).collect()}
+
+    full = DedupIndex.build(
+        to_spark(spark, corpus_rows + batch_rows), cfg,
+        str(tmp_path / f"f{seed}"), with_clusters=True,
+    )
+    want = {
+        r["doc_id"]: r["cluster"] for r in full.clusters(spark).collect()
+    }
+    assert got == want
+    # non-vacuous: the split produced real cross links
+    assert any(got[k] != k for k in got)
+
+
 def test_annotate_batch_per_page_clusters(cidx, spark):
     """Every batch page gets a cluster_id: exact hits follow the index's
     first-seen doc to its current cluster, fresh pages follow the delta,

@@ -199,6 +199,48 @@ def _band_join_duck() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# multimodal long-form fold (round 6, VERDICT r5 item 1): the per-modality
+# stats tables stack into ONE recorded query each for decode / resize /
+# near-dup by unpivoting every column to (modality, url, metric, value)
+# rows — no information loss (every column survives as a metric row, values
+# compared as exact strings: integer casts are canonical and booleans
+# render 'true'/'false' identically in Spark and DuckDB).
+# ---------------------------------------------------------------------------
+
+_IMG_STATS_COLS = [
+    "width", "height", "format", "decoded", "channels",
+    "r_sum", "g_sum", "b_sum",
+]
+_AUD_STATS_COLS = [
+    "decoded", "n_channels", "sample_rate", "n_samples",
+    "duration_ms", "sumsq", "zero_crossings",
+]
+_VID_STATS_COLS = [
+    "decoded", "width", "height", "n_frames", "fps_num", "fps_den",
+    "duration_ms", "y_sum", "y_sumsq",
+]
+_IMG_RESIZE_COLS = ["width", "height", "r_sum", "g_sum", "b_sum"]
+_VID_RESIZE_COLS = ["width", "height", "n_frames", "fps_num", "y_sum"]
+
+
+def _unpivot_modal(df: DataFrame, modality: str, metrics: list[str]) -> DataFrame:
+    pairs = ", ".join(f"'{m}', cast({m} as string)" for m in metrics)
+    return df.selectExpr(
+        f"'{modality}' as modality",
+        "url",
+        f"stack({len(metrics)}, {pairs}) as (metric, value)",
+    )
+
+
+def _unpivot_modal_sql(inner: str, modality: str, metrics: list[str]) -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{modality}' AS modality, url, '{m}' AS metric, "
+        f"CAST({m} AS VARCHAR) AS value FROM ({inner})"
+        for m in metrics
+    )
+
+
 _SQL_SHINGLES = (
     f"SELECT doc_id, list_distinct(list_transform("
     f"generate_series(1, greatest(1, length(text) - {MH_K - 1})), "
@@ -241,79 +283,118 @@ def _register_dedup_chain(
     q: dict[str, Callable[[SparkSession, str], DataFrame]],
     n: int,
     suffix: str,
+    with_ids: bool = False,
 ) -> None:
     """The full exact-count -> neighbour-join -> CC -> stats/sinks chain at
     key length `n`.  Registered twice: n=24 (reference config; vacuous on
-    the driver's word-soup docs) and n=12 (real merges at sf0.01)."""
+    the driver's word-soup docs) and n=12 (real merges at sf0.01).
+
+    Round 6 (VERDICT r5 item 1): the chain is FOLDED so the whole contract
+    fits the driver's 50-query recorded budget with identical oracle
+    strength — hamming1_pairs+edit1_pairs -> neighbour_pairs (kind column),
+    the three histograms -> dedup_histograms (stacked metric/bucket rows),
+    dedup_keep -> representatives.doc_id, and (n12) max_clusters ->
+    components_n12.cluster_id/cluster_size.  README "Contract v6" records
+    the old-name -> new-column mapping."""
 
     # --- A1: exact-dup counting (the trie insert) ---
     q[f"exact_dup_counts{suffix}"] = lambda s, d: _uniq(s, d, n)
 
-    # --- A4: count histogram (counts.dat) ---
-    q[f"count_histogram{suffix}"] = lambda s, d: (
-        _uniq(s, d, n).groupBy(F.col("cnt").alias("multiplicity"))
-        .agg(F.count(F.lit(1)).alias("frequency"))
-    )
-
-    # --- J1: Hamming-1 self-join via pigeonhole chunk blocking ---
-    q[f"hamming1_pairs{suffix}"] = lambda s, d: _pairs_h1(s, d, n)
-
-    # --- J2: edit-distance-1 self-join (PassJoin-style shifts) ---
-    def edit1(s, d):
+    # --- J1 + J2: Hamming-1 (pigeonhole chunk blocking) and
+    #     edit-distance-1 (PassJoin-style shifts) self-joins, stacked
+    #     under a `kind` tag (fold of hamming1_pairs + edit1_pairs) ---
+    def neighbour_pairs(s, d):
         from humid_spark.operators.blocking import edit_pairs
 
-        return edit_pairs(_uniq(s, d, n).select("key"), n, 1)
+        h1 = _pairs_h1(s, d, n).select(
+            F.lit("hamming1").alias("kind"), "src", "dst"
+        )
+        e1 = edit_pairs(_uniq(s, d, n).select("key"), n, 1).select(
+            F.lit("edit1").alias("kind"), "src", "dst"
+        )
+        return h1.unionByName(e1)
 
-    q[f"edit1_pairs{suffix}"] = edit1
+    q[f"neighbour_pairs{suffix}"] = neighbour_pairs
 
-    # --- A5: neighbour histogram (neigh.dat), zero-degree keys included ---
-    def neigh_hist(s, d):
+    # --- A4 + A5 + A6: the three stats sinks (counts.dat multiplicity
+    #     histogram, neigh.dat degree histogram with zero-degree keys
+    #     included, cluster-size histogram) stacked as (metric, bucket,
+    #     frequency) rows — identical information, one recorded query ---
+    def histograms(s, d):
         from humid_spark.operators.stats import neighbour_histogram
 
-        return neighbour_histogram(_uniq(s, d, n), _pairs_h1(s, d, n))
+        u = _uniq(s, d, n)
+        cnt_h = (
+            u.groupBy(F.col("cnt").cast("long").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("frequency"))
+            .select(F.lit("multiplicity").alias("metric"), "bucket", "frequency")
+        )
+        deg_h = neighbour_histogram(u, _pairs_h1(s, d, n)).select(
+            F.lit("degree").alias("metric"),
+            F.col("degree").cast("long").alias("bucket"),
+            "frequency",
+        )
+        sz_h = (
+            _components(s, d, n)
+            .groupBy("component")
+            .agg(F.sum("cnt").alias("size"))
+            .groupBy(F.col("size").cast("long").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("frequency"))
+            .select(F.lit("cluster_size").alias("metric"), "bucket", "frequency")
+        )
+        return cnt_h.unionByName(deg_h).unionByName(sz_h)
 
-    q[f"neighbour_histogram{suffix}"] = neigh_hist
+    q[f"dedup_histograms{suffix}"] = histograms
 
-    # --- G1: connected components (large-star/small-star) ---
-    q[f"components{suffix}"] = lambda s, d: (
-        _components(s, d, n).select("key", "component")
-    )
+    # --- G1: connected components (large-star/small-star); with_ids adds
+    #     G1/-x + G3 — the REAL maximum-clustering engine path
+    #     (per-component greedy replay, applyInPandas) and the global
+    #     seed-rank cluster-id enumeration — as cluster_id/cluster_size
+    #     columns (fold of the former max_clusters_n12) ---
+    if with_ids:
+        def components_ids(s, d):
+            from humid_spark.operators.directional import cluster_keys
 
-    # --- A6: cluster size histogram (sum of member counts per component) ---
-    q[f"cluster_size_histogram{suffix}"] = lambda s, d: (
-        _components(s, d, n)
-        .groupBy("component")
-        .agg(F.sum("cnt").alias("size"))
-        .groupBy("size")
-        .agg(F.count(F.lit(1)).alias("frequency"))
-    )
+            uniq = _uniq(s, d, n).select(
+                "key", F.col("cnt").alias("count"),
+                F.lit(None).cast("timestamp").alias("first_ts"),
+                F.col("first_doc_id").cast("string").alias("first_url"),
+            )
+            mx = cluster_keys(uniq, _pairs_h1(s, d, n), maximum=True).select(
+                "key", "cluster_id", "cluster_size"
+            )
+            return (
+                _components(s, d, n).select("key", "component").join(mx, "key")
+            )
 
-    # --- A8: per-cluster argmax representative ---
+        q[f"components{suffix}"] = components_ids
+    else:
+        q[f"components{suffix}"] = lambda s, d: (
+            _components(s, d, n).select("key", "component")
+        )
+
+    # --- A8 + K1: per-cluster argmax representative, carrying the kept
+    #     first_doc_id (fold of dedup_keep: the dedup sink's output is
+    #     exactly this query's doc_id column) ---
     def reps(s, d):
-        best = _best(_components(s, d, n))
+        c = _components(s, d, n)
+        best = c.groupBy("component").agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg_cnt"),
+                    F.col("key").alias("key"),
+                    F.col("first_doc_id").alias("doc_id"),
+                )
+            ).alias("b")
+        )
         return best.select(
             "component",
             F.col("b.key").alias("rep_key"),
             (-F.col("b.neg_cnt")).cast("long").alias("rep_cnt"),
+            F.col("b.doc_id").alias("doc_id"),
         )
 
     q[f"representatives{suffix}"] = reps
-
-    # --- K1: dedup output (first doc of the representative key) ---
-    def dedup_keep(s, d):
-        c = _components(s, d, n)
-        best = _best(c).select(
-            F.col("component").alias("bcomponent"), F.col("b.key").alias("rep_key")
-        )
-        return (
-            c.join(
-                best,
-                (c["component"] == best["bcomponent"]) & (c["key"] == best["rep_key"]),
-            )
-            .select(F.col("first_doc_id").alias("doc_id"))
-        )
-
-    q[f"dedup_keep{suffix}"] = dedup_keep
 
     # --- K2/J3: annotate every doc with its cluster (point-lookup join) ---
     def annotate(s, d):
@@ -331,61 +412,75 @@ def _register_dedup_chain(
     q[f"annotate{suffix}"] = annotate
 
 
-def _register_dedup_chain_sql(o: dict[str, str], n: int, suffix: str) -> None:
+def _register_dedup_chain_sql(
+    o: dict[str, str], n: int, suffix: str, with_ids: bool = False
+) -> None:
     """DuckDB oracles for the chain registered by _register_dedup_chain."""
     o[f"exact_dup_counts{suffix}"] = _sql_uniq(n)
 
-    o[f"count_histogram{suffix}"] = (
-        f"SELECT cnt AS multiplicity, count(*) AS frequency "
-        f"FROM ({_sql_uniq(n)}) GROUP BY cnt"
-    )
-
-    o[f"hamming1_pairs{suffix}"] = _sql_edges_h1(n)
-
-    o[f"edit1_pairs{suffix}"] = (
-        f"SELECT a.key AS src, b.key AS dst "
+    o[f"neighbour_pairs{suffix}"] = (
+        f"SELECT 'hamming1' AS kind, src, dst FROM ({_sql_edges_h1(n)}) "
+        f"UNION ALL "
+        f"SELECT 'edit1' AS kind, a.key AS src, b.key AS dst "
         f"FROM (SELECT DISTINCT key FROM ({_sql_keys(n)})) a "
         f"JOIN (SELECT DISTINCT key FROM ({_sql_keys(n)})) b "
         f"ON a.key < b.key AND levenshtein(a.key, b.key) <= 1"
     )
 
-    o[f"neighbour_histogram{suffix}"] = f"""
-        WITH uk AS (SELECT DISTINCT key FROM ({_sql_keys(n)})),
-        e AS (SELECT src AS key FROM ({_sql_edges_h1(n)})
-              UNION ALL SELECT dst FROM ({_sql_edges_h1(n)})),
-        deg AS (SELECT uk.key, count(e.key) AS degree
-                FROM uk LEFT JOIN e ON uk.key = e.key GROUP BY uk.key)
-        SELECT degree, count(*) AS frequency FROM deg GROUP BY degree
+    o[f"dedup_histograms{suffix}"] = f"""
+        SELECT 'multiplicity' AS metric, CAST(cnt AS BIGINT) AS bucket,
+               count(*) AS frequency
+        FROM ({_sql_uniq(n)}) GROUP BY 2
+        UNION ALL
+        SELECT 'degree' AS metric, CAST(degree AS BIGINT) AS bucket, frequency
+        FROM (
+          WITH uk AS (SELECT DISTINCT key FROM ({_sql_keys(n)})),
+          e AS (SELECT src AS key FROM ({_sql_edges_h1(n)})
+                UNION ALL SELECT dst FROM ({_sql_edges_h1(n)})),
+          deg AS (SELECT uk.key, count(e.key) AS degree
+                  FROM uk LEFT JOIN e ON uk.key = e.key GROUP BY uk.key)
+          SELECT degree, count(*) AS frequency FROM deg GROUP BY degree
+        )
+        UNION ALL
+        SELECT 'cluster_size' AS metric, CAST(size AS BIGINT) AS bucket,
+               frequency
+        FROM (
+          WITH cc AS ({_sql_cc(n)}), u AS ({_sql_uniq(n)}),
+          sizes AS (SELECT cc.component, CAST(sum(u.cnt) AS BIGINT) AS size
+                    FROM cc JOIN u ON cc.key = u.key GROUP BY cc.component)
+          SELECT size, count(*) AS frequency FROM sizes GROUP BY size
+        )
     """
 
-    o[f"components{suffix}"] = _sql_cc(n)
-
-    o[f"cluster_size_histogram{suffix}"] = f"""
-        WITH cc AS ({_sql_cc(n)}), u AS ({_sql_uniq(n)}),
-        sizes AS (SELECT cc.component, CAST(sum(u.cnt) AS BIGINT) AS size
-                  FROM cc JOIN u ON cc.key = u.key GROUP BY cc.component)
-        SELECT size, count(*) AS frequency FROM sizes GROUP BY size
-    """
+    if with_ids:
+        o[f"components{suffix}"] = f"""
+            WITH cc AS ({_sql_cc(n)}), u AS ({_sql_uniq(n)}),
+            j AS (SELECT cc.key, cc.component, u.cnt
+                  FROM cc JOIN u ON cc.key = u.key),
+            sz AS (SELECT component, CAST(sum(cnt) AS BIGINT) AS cluster_size
+                   FROM j GROUP BY component),
+            ids AS (SELECT component,
+                           CAST(dense_rank() OVER (ORDER BY component)
+                                AS BIGINT) AS cluster_id
+                    FROM sz)
+            SELECT j.key, j.component, ids.cluster_id, sz.cluster_size
+            FROM j JOIN sz ON j.component = sz.component
+                   JOIN ids ON j.component = ids.component
+        """
+    else:
+        o[f"components{suffix}"] = _sql_cc(n)
 
     o[f"representatives{suffix}"] = f"""
         WITH cc AS ({_sql_cc(n)}), u AS ({_sql_uniq(n)}),
-        j AS (SELECT cc.component, u.key, u.cnt FROM cc JOIN u ON cc.key = u.key),
-        r AS (SELECT component, key, cnt,
-                     row_number() OVER (PARTITION BY component
-                                        ORDER BY cnt DESC, key) AS rn
-              FROM j)
-        SELECT component, key AS rep_key, cnt AS rep_cnt FROM r WHERE rn = 1
-    """
-
-    o[f"dedup_keep{suffix}"] = f"""
-        WITH cc AS ({_sql_cc(n)}), u AS ({_sql_uniq(n)}),
         j AS (SELECT cc.component, u.key, u.cnt, u.first_doc_id
               FROM cc JOIN u ON cc.key = u.key),
-        r AS (SELECT first_doc_id,
+        r AS (SELECT component, key, cnt, first_doc_id,
                      row_number() OVER (PARTITION BY component
                                         ORDER BY cnt DESC, key) AS rn
               FROM j)
-        SELECT first_doc_id AS doc_id FROM r WHERE rn = 1
+        SELECT component, key AS rep_key, cnt AS rep_cnt,
+               first_doc_id AS doc_id
+        FROM r WHERE rn = 1
     """
 
     o[f"annotate{suffix}"] = f"""
@@ -405,7 +500,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _register_dedup_chain(q, N, "")
     # ... and the non-vacuous n=12 chain: real Hamming-1 merges at sf0.01,
     # so CC/representative/dedup semantics are checked on actual clusters.
-    _register_dedup_chain(q, N12, "_n12")
+    # with_ids folds the former max_clusters_n12 (REAL maximum-clustering
+    # engine path + global seed-rank ids) into components_n12.
+    _register_dedup_chain(q, N12, "_n12", with_ids=True)
 
     # --- A7: scalar stats ---
     def scalar_stats(s, d):
@@ -418,17 +515,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scalar_stats"] = scalar_stats
 
-    # --- signatures: SQL-parity MinHash + SimHash ---
-    q["minhash_signatures"] = lambda s, d: _sig_sql_spark(s, d)
-
-    def simhash_q(s, d):
+    # --- signatures: SQL-parity MinHash + SimHash in ONE row per doc
+    #     (round-6 fold of minhash_signatures + simhash_signatures; both
+    #     kernels still run — the 8 OPH columns and the 16-bit SimHash are
+    #     hash-checked side by side) ---
+    def signatures_q(s, d):
         from humid_spark.functions.signatures import simhash_sql_spark
 
-        return _t(s, d, "documents").select(
+        sim = _t(s, d, "documents").select(
             "doc_id", simhash_sql_spark("text", MH_K).alias("simhash16")
         )
+        return _sig_sql_spark(s, d).join(sim, "doc_id")
 
-    q["simhash_signatures"] = simhash_q
+    q["signatures"] = signatures_q
 
     # --- LSH band join on the SQL-parity signatures ---
     q["lsh_band_pairs"] = lambda s, d: _band_join_spark(s, d)
@@ -888,40 +987,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_incremental_ingest"] = stream_incr
 
-    # --- text analytics ---
-    def text_stats(s, d):
+    # --- text analytics: token/punct/stopword stats + the C4/Gopher
+    #     repetition signals (duplicated word-3-gram share, top-2-gram
+    #     share, mean word length) in ONE row per doc — pure JVM
+    #     expressions, integer permille, bit-identical SQL (round-6 fold
+    #     of text_stats + repetition_stats; repetition columns are NULL
+    #     for NULL text, matching the old filter) ---
+    def text_quality_stats(s, d):
         from humid_spark.functions import textstats as ts
 
         t = F.col("text")
+        nn = t.isNotNull()
         return _t(s, d, "documents").select(
             "doc_id",
             ts.token_count(t).cast("long").alias("tokens"),
             ts.token_estimate(t).alias("token_est"),
             ts.punct_permille(t).alias("punct_permille"),
             ts.stopword_permille(t).alias("stopword_permille"),
+            F.when(nn, ts.dup_ngram_permille(t)).alias("dup3_permille"),
+            F.when(nn, ts.top_ngram_share_permille(t)).alias("top2_permille"),
+            F.when(nn, ts.mean_word_len_permille(t)).alias("word_len_permille"),
         )
 
-    q["text_stats"] = text_stats
-
-    def repetition_stats(s, d):
-        """Intra-document repetition signals (C4/Gopher filtering family):
-        duplicated word-3-gram share, top-2-gram share, mean word length —
-        pure JVM expressions, integer permille, bit-identical SQL."""
-        from humid_spark.functions import textstats as ts
-
-        t = F.col("text")
-        return (
-            _t(s, d, "documents")
-            .filter(t.isNotNull())
-            .select(
-                "doc_id",
-                ts.dup_ngram_permille(t).alias("dup3_permille"),
-                ts.top_ngram_share_permille(t).alias("top2_permille"),
-                ts.mean_word_len_permille(t).alias("word_len_permille"),
-            )
-        )
-
-    q["repetition_stats"] = repetition_stats
+    q["text_quality_stats"] = text_quality_stats
 
     def url_canonical(s, d):
         """Key-space dedup: the same fetch reachable through case drift,
@@ -1124,29 +1212,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_funnel"] = curation_funnel
 
-    def quality_counts(s, d):
+    # --- document classification counts: quality classes and
+    #     declared-lang x n-gram-heuristic lang-guess confusion cells,
+    #     stacked under a `kind` tag (round-6 fold of quality_class_counts
+    #     + lang_guess_counts; both classifiers still run) ---
+    def doc_class_counts(s, d):
         from humid_spark.functions import textstats as ts
 
-        return (
-            _t(s, d, "documents")
-            .groupBy(ts.quality_class(F.col("text")).alias("quality"))
+        docs = _t(s, d, "documents")
+        qc = (
+            docs.groupBy(ts.quality_class(F.col("text")).alias("cls"))
             .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("quality").alias("kind"), "cls", "n")
         )
-
-    q["quality_class_counts"] = quality_counts
-
-    def lang_counts(s, d):
-        from humid_spark.functions import textstats as ts
-
-        return (
-            _t(s, d, "documents")
-            .groupBy(
-                F.col("lang"), ts.lang_guess(F.col("text")).alias("lang_guess")
+        lg = (
+            docs.groupBy(
+                F.concat(
+                    F.coalesce(F.col("lang"), F.lit("")),
+                    F.lit(":"),
+                    F.coalesce(ts.lang_guess(F.col("text")), F.lit("")),
+                ).alias("cls")
             )
             .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("lang").alias("kind"), "cls", "n")
         )
+        return qc.unionByName(lg)
 
-    q["lang_guess_counts"] = lang_counts
+    q["doc_class_counts"] = doc_class_counts
 
     def fp_dups(s, d):
         from humid_spark.functions import textstats as ts
@@ -1479,26 +1571,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["directional_clusters"] = directional
 
-    # --- G1/-x: MAXIMUM clustering at n=12 — flood fill covers the whole
-    #     connected component (src/cluster.cc:72-80), so membership, size
-    #     and the global seed-rank id are all SQL-expressible: cluster =
-    #     component, id = rank of component min-key.  Runs the REAL engine
-    #     path (per-component greedy replay in applyInPandas + global seed
-    #     rank) against that independent formulation — non-vacuous since
-    #     n=12 has 28 multi-key components at sf0.01. ---
-    def max_clusters_n12(s, d):
-        from humid_spark.operators.directional import cluster_keys
-
-        uniq = _uniq(s, d, N12).select(
-            "key", F.col("cnt").alias("count"),
-            F.lit(None).cast("timestamp").alias("first_ts"),
-            F.col("first_doc_id").cast("string").alias("first_url"),
-        )
-        return cluster_keys(uniq, _pairs_h1(s, d, N12), maximum=True).select(
-            "key", "cluster_id", "cluster_size"
-        )
-
-    q["max_clusters_n12"] = max_clusters_n12
+    # (max_clusters_n12 folded into components_n12 — see
+    #  _register_dedup_chain(with_ids=True): flood fill covers the whole
+    #  connected component (src/cluster.cc:72-80), so membership, size and
+    #  the global seed-rank id are all SQL-expressible; the REAL engine
+    #  path — per-component greedy replay in applyInPandas + global seed
+    #  rank — runs inside that query.)
 
     # --- G2 invariants: the directional greedy is sequential (not SQL-
     #     expressible), but its OUTPUT obeys hard invariants DuckDB can pin:
@@ -1609,7 +1687,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return image_stats(planted, blob_col="blob")
 
-    q["image_decode_stats"] = image_decode_stats
 
     # --- audio: REAL WAV decode + exact integer features (round 5).
     #     Planted 16-bit PCM blobs (every sample a pure function of
@@ -1644,7 +1721,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         planted = ids.mapInPandas(gen, "url string, blob binary")
         return audio_stats(planted, blob_col="blob")
 
-    q["audio_decode_stats"] = audio_decode_stats
 
     # --- acoustic near-dup (round 5): planted PCM clips (sample
     #     v(did,i) = (did*37 + i*101) % 2001 - 1000, n = 130 + did%70)
@@ -1688,7 +1764,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bit_dist", F.col("bit_dist").cast("long")
         )
 
-    q["audio_fp_near_dups"] = audio_fp_near_dups
 
     # --- perceptual image dedup (round 5): planted 16x16 PPMs (pixel =
     #     (doc_id*31 + y*7 + x*3 + c*11) % 200) plus brightness-shifted
@@ -1734,7 +1809,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bit_dist", F.col("bit_dist").cast("long")
         )
 
-    q["image_phash_near_dups"] = image_phash_near_dups
 
     # --- exact-integer resize (round 5): the planted 16x16 PPMs resize
     #     to 8x8 by block mean (output pixel = floor(2x2-block sum / 4)),
@@ -1772,7 +1846,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "width", "height", "r_sum", "g_sum", "b_sum"
         )
 
-    q["image_resize_stats"] = image_resize_stats
 
     # --- video (round 5): REAL Y4M decode + exact luma stats.  Planted
     #     mono YUV4MPEG2 streams (pixel = (doc_id*53 + t*17 + y*7 + x*3)
@@ -1812,7 +1885,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         planted = ids.mapInPandas(gen, "url string, blob binary")
         return video_stats(planted, blob_col="blob")
 
-    q["video_decode_stats"] = video_decode_stats
 
     # --- perceptual video dedup (round 5): the same planting formula
     #     at fixed n_frames=6 plus brightness-shifted copies (+8 every
@@ -1855,7 +1927,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bit_dist", F.col("bit_dist").cast("long")
         )
 
-    q["video_phash_near_dups"] = video_phash_near_dups
 
     # --- video sub-clip containment (round 5): base videos from the
     #     same luma formula at n = 8 + doc_id%4 frames; for doc_id%4==0
@@ -1945,7 +2016,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "width", "height", "n_frames", "fps_num", "y_sum"
         )
 
-    q["video_resize_stats"] = video_resize_stats
+    # --- round-6 folds: the whole perceptual tier in THREE recorded
+    #     queries (decode / near-dup / resize), every per-modality column
+    #     preserved as a long-form metric row.  All three real codec
+    #     paths (PPM/WAV/Y4M), all three fingerprint kernels (aHash /
+    #     energy envelope / frame-majority aHash) and both resize paths
+    #     still run — only the row shape changed. ---
+    def multimodal_decode_stats(s, d):
+        return (
+            _unpivot_modal(image_decode_stats(s, d), "image", _IMG_STATS_COLS)
+            .unionByName(
+                _unpivot_modal(audio_decode_stats(s, d), "audio",
+                               _AUD_STATS_COLS)
+            )
+            .unionByName(
+                _unpivot_modal(video_decode_stats(s, d), "video",
+                               _VID_STATS_COLS)
+            )
+        )
+
+    q["multimodal_decode_stats"] = multimodal_decode_stats
+
+    def multimodal_near_dups(s, d):
+        def tag(df, m):
+            return df.select(
+                F.lit(m).alias("modality"), "src", "dst", "bit_dist"
+            )
+
+        return (
+            tag(image_phash_near_dups(s, d), "image")
+            .unionByName(tag(audio_fp_near_dups(s, d), "audio"))
+            .unionByName(tag(video_phash_near_dups(s, d), "video"))
+        )
+
+    q["multimodal_near_dups"] = multimodal_near_dups
+
+    def multimodal_resize_stats(s, d):
+        return _unpivot_modal(
+            image_resize_stats(s, d), "image", _IMG_RESIZE_COLS
+        ).unionByName(
+            _unpivot_modal(video_resize_stats(s, d), "video",
+                           _VID_RESIZE_COLS)
+        )
+
+    q["multimodal_resize_stats"] = multimodal_resize_stats
 
     # --- streaming dedup, batch-mode analog: the Structured-Streaming
     #     operator (dropDuplicatesWithinWatermark, streaming/dedup.py)
@@ -2057,14 +2171,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_first_seen"] = streaming_first_seen_q
 
-    return q
+    missing = [k for k in _ORDER if k not in q]
+    extra = [k for k in q if k not in _ORDER]
+    assert not missing and not extra, (missing, extra)
+    return {k: q[k] for k in _ORDER}
+
+
+# The driver records the FIRST 50 registered queries (registration order =
+# this list).  Round 6 (VERDICT r5 item 1): never-driver-checked queries
+# lead, the 8 queries that overflowed r5's record follow, and the single
+# over-budget query (#51, ann_ivf_topk) is a documented approximate
+# operator whose exact twin (ann_ivf_full_probe) IS recorded — see README
+# "Contract v6".
+_ORDER = [
+    # never driver-checked before round 6 — recorded first
+    "multimodal_decode_stats",
+    "multimodal_near_dups",
+    "multimodal_resize_stats",
+    "video_subclip_containment",
+    "incremental_embedding_dedup",
+    # absent from the r5 record (registry overflow) — restored
+    "binary_exact_dups",
+    "containment_pairs",
+    "substring_dups",
+    "directional_clusters",
+    "directional_invariants_n12",
+    "events_dedup_windowed",
+    "streaming_first_seen",
+    # n=24 reference-config dedup chain (folded, see _register_dedup_chain)
+    "exact_dup_counts", "neighbour_pairs", "dedup_histograms",
+    "components", "representatives", "annotate",
+    # n=12 chain — real merges at sf0.01; components_n12 carries the
+    # maximum-clustering ids (former max_clusters_n12)
+    "exact_dup_counts_n12", "neighbour_pairs_n12", "dedup_histograms_n12",
+    "components_n12", "representatives_n12", "annotate_n12",
+    # core web-dedup + incremental tiers
+    "scalar_stats", "signatures", "lsh_band_pairs", "ngram_jaccard_pairs",
+    "simhash_near_dups", "web_dedup_funnel",
+    "incremental_exact_dedup", "incremental_near_dups",
+    "incremental_clusters", "streaming_incremental_ingest",
+    # curation / text analysis
+    "text_quality_stats", "doc_class_counts", "url_canonical_dups",
+    "stratified_sample", "curation_funnel", "fingerprint_exact_dups",
+    # relational coverage (agg / join / window)
+    "pricing_summary", "top_customers", "events_daily", "user_sessions",
+    # embeddings / ANN
+    "embedding_near_dups", "embedding_near_dups_wide",
+    "ann_cosine_topk", "ann_hyperplane_int", "ann_ivf_full_probe",
+    # documented-approximate tail (pytest recall + exact twins above)
+    "ann_hyperplane_topk",
+    "ann_ivf_topk",
+]
 
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     _register_dedup_chain_sql(o, N, "")
-    _register_dedup_chain_sql(o, N12, "_n12")
+    _register_dedup_chain_sql(o, N12, "_n12", with_ids=True)
 
     o["scalar_stats"] = (
         "SELECT count(*) AS total, "
@@ -2073,13 +2237,12 @@ def oracle_sql() -> dict[str, str]:
         "THEN substr(text, 1, 24) END) AS \"unique\" FROM documents"
     )
 
-    o["minhash_signatures"] = _sig_sql_duck()
-
     from humid_spark.functions.signatures import simhash_sql_duckdb
 
-    o["simhash_signatures"] = (
-        f"SELECT doc_id, {simhash_sql_duckdb('text', MH_K)} AS simhash16 "
-        f"FROM documents"
+    o["signatures"] = (
+        f"SELECT m.*, x.simhash16 FROM ({_sig_sql_duck()}) m JOIN "
+        f"(SELECT doc_id, {simhash_sql_duckdb('text', MH_K)} AS simhash16 "
+        f"FROM documents) x USING (doc_id)"
     )
 
     o["lsh_band_pairs"] = _band_join_duck()
@@ -2176,19 +2339,18 @@ def oracle_sql() -> dict[str, str]:
 
     from humid_spark.functions import textstats as ts
 
-    o["text_stats"] = (
+    o["text_quality_stats"] = (
         f"SELECT doc_id, {ts.sql_token_count('text')} AS tokens, "
         f"(length(coalesce(text, '')) + 3) // 4 AS token_est, "
         f"{ts.sql_punct_permille('text')} AS punct_permille, "
-        f"{ts.sql_stopword_permille('text')} AS stopword_permille "
+        f"{ts.sql_stopword_permille('text')} AS stopword_permille, "
+        f"CASE WHEN text IS NOT NULL THEN "
+        f"{ts.sql_dup_ngram_permille('text')} END AS dup3_permille, "
+        f"CASE WHEN text IS NOT NULL THEN "
+        f"{ts.sql_top_ngram_share_permille('text')} END AS top2_permille, "
+        f"CASE WHEN text IS NOT NULL THEN "
+        f"{ts.sql_mean_word_len_permille('text')} END AS word_len_permille "
         f"FROM documents"
-    )
-
-    o["repetition_stats"] = (
-        f"SELECT doc_id, {ts.sql_dup_ngram_permille('text')} AS dup3_permille, "
-        f"{ts.sql_top_ngram_share_permille('text')} AS top2_permille, "
-        f"{ts.sql_mean_word_len_permille('text')} AS word_len_permille "
-        f"FROM documents WHERE text IS NOT NULL"
     )
 
     from humid_spark.functions.urls import sql_canonical_url
@@ -2318,14 +2480,13 @@ def oracle_sql() -> dict[str, str]:
         )
     """
 
-    o["quality_class_counts"] = (
-        f"SELECT {ts.sql_quality_class('text')} AS quality, count(*) AS n "
-        f"FROM documents GROUP BY 1"
-    )
-
-    o["lang_guess_counts"] = (
-        f"SELECT lang, {ts.sql_lang_guess('text')} AS lang_guess, "
-        f"count(*) AS n FROM documents GROUP BY 1, 2"
+    o["doc_class_counts"] = (
+        f"SELECT 'quality' AS kind, {ts.sql_quality_class('text')} AS cls, "
+        f"count(*) AS n FROM documents GROUP BY 2 "
+        f"UNION ALL "
+        f"SELECT 'lang' AS kind, coalesce(lang, '') || ':' || "
+        f"coalesce({ts.sql_lang_guess('text')}, '') AS cls, "
+        f"count(*) AS n FROM documents GROUP BY 2"
     )
 
     # streaming_first_seen: the streamed result equals "first (ts, url)
@@ -2852,21 +3013,6 @@ def oracle_sql() -> dict[str, str]:
         WHERE bit_count(xor(a.sim, b.sim)) <= 3
     """
 
-    o["max_clusters_n12"] = f"""
-        WITH cc AS ({_sql_cc(N12)}), u AS ({_sql_uniq(N12)}),
-        j AS (SELECT cc.key, cc.component, u.cnt
-              FROM cc JOIN u ON cc.key = u.key),
-        sz AS (SELECT component, CAST(sum(cnt) AS BIGINT) AS cluster_size
-               FROM j GROUP BY component),
-        ids AS (SELECT component,
-                       CAST(dense_rank() OVER (ORDER BY component) AS BIGINT)
-                         AS cluster_id
-                FROM sz)
-        SELECT j.key, ids.cluster_id, sz.cluster_size
-        FROM j JOIN sz ON j.component = sz.component
-               JOIN ids ON j.component = ids.component
-    """
-
     o["directional_invariants_n12"] = f"""
         SELECT CAST(count(*) AS BIGINT) AS n_keys,
                CAST(sum(cnt) AS BIGINT) AS total_count,
@@ -2887,7 +3033,7 @@ def oracle_sql() -> dict[str, str]:
 
     # Channel sums computed from the planting formula, never from bytes:
     # sum over (x, y) of (doc_id*31 + y*7 + x*3 + c*11) % 256 per channel.
-    o["image_decode_stats"] = """
+    _img_decode_sql = """
         WITH ids AS (
           SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
           FROM documents WHERE doc_id < 200
@@ -2917,7 +3063,7 @@ def oracle_sql() -> dict[str, str]:
 
     # Audio features computed from the planting formula, never from
     # bytes: sample v(doc_id, i) = (doc_id*37 + i*101) % 2001 - 1000.
-    o["audio_decode_stats"] = """
+    _aud_decode_sql = """
         WITH ids AS (
           SELECT doc_id, 200 + doc_id % 100 AS n,
                  8000 + (doc_id % 3) * 4000 AS rate
@@ -2955,7 +3101,7 @@ def oracle_sql() -> dict[str, str]:
     # floor boundary k*n//65); energies sum v^2 per segment (the scaled
     # copy uses 2v, so every energy is exactly 4x); bit k iff
     # E[k+1] > E[k]; HUGEINT packing, signed wrap, hamming <= 3 pairs.
-    o["audio_fp_near_dups"] = """
+    _aud_nd_sql = """
         WITH clips AS (
           SELECT CAST(doc_id AS VARCHAR) AS url, doc_id,
                  130 + doc_id % 70 AS n, 1 AS scale
@@ -3002,7 +3148,7 @@ def oracle_sql() -> dict[str, str]:
     # Resized-image channel sums from the pixel formula: output pixel
     # (oy, ox, c) = floor(sum of the 2x2 input block / 4); sums per
     # channel over the 8x8 output.  width/height echo the SOURCE dims.
-    o["image_resize_stats"] = """
+    _img_resize_sql = """
         WITH ids AS (
           SELECT doc_id FROM documents WHERE doc_id < 150
         ),
@@ -3038,7 +3184,7 @@ def oracle_sql() -> dict[str, str]:
     # (cross-multiplied block-mean vs global-mean), HUGEINT packing with
     # the signed int64 wrap; pairs brute-forced at hamming <= 3 (equal to
     # the engine's band blocking by pigeonhole, max_bits < n_bands).
-    o["image_phash_near_dups"] = """
+    _img_nd_sql = """
         WITH imgs AS (
           SELECT CAST(doc_id AS VARCHAR) AS url, doc_id, 0 AS shift
           FROM documents WHERE doc_id < 120
@@ -3085,7 +3231,7 @@ def oracle_sql() -> dict[str, str]:
     # Video stats replayed from the planting formula, never from bytes:
     # luma v(doc_id, t, y, x) = (doc_id*53 + t*17 + y*7 + x*3) % 200
     # over n = 4 + doc_id%4 frames of 16x16 at fps 12 + doc_id%3.
-    o["video_decode_stats"] = """
+    _vid_decode_sql = """
         WITH ids AS (
           SELECT doc_id, 4 + doc_id % 4 AS n, 12 + doc_id % 3 AS fps
           FROM documents WHERE doc_id < 150
@@ -3120,7 +3266,7 @@ def oracle_sql() -> dict[str, str]:
     # majority combine, the signed int64 wrap, and brute-forced pairs
     # at hamming <= 3 (equal to the engine's band blocking by
     # pigeonhole, max_bits < n_bands).
-    o["video_phash_near_dups"] = """
+    _vid_nd_sql = """
         WITH vids AS (
           SELECT CAST(doc_id AS VARCHAR) AS url, doc_id, 0 AS shift
           FROM documents WHERE doc_id < 80
@@ -3183,7 +3329,7 @@ def oracle_sql() -> dict[str, str]:
     # (0, 2, ...) of n = 4 + doc_id%4; output pixel = floor(2x2-block
     # sum / 4); width/height/n_frames/fps are the RESIZED stream's
     # (8x8, ceil(n/2) frames, source fps preserved by the re-encode).
-    o["video_resize_stats"] = """
+    _vid_resize_sql = """
         WITH ids AS (
           SELECT doc_id, 4 + doc_id % 4 AS n, 12 + doc_id % 3 AS fps
           FROM documents WHERE doc_id < 100
@@ -3214,6 +3360,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(ysum AS BIGINT) AS y_sum
         FROM agg
     """
+
+    o["multimodal_decode_stats"] = (
+        _unpivot_modal_sql(_img_decode_sql, "image", _IMG_STATS_COLS)
+        + " UNION ALL "
+        + _unpivot_modal_sql(_aud_decode_sql, "audio", _AUD_STATS_COLS)
+        + " UNION ALL "
+        + _unpivot_modal_sql(_vid_decode_sql, "video", _VID_STATS_COLS)
+    )
+
+    o["multimodal_near_dups"] = (
+        f"SELECT 'image' AS modality, src, dst, bit_dist FROM ({_img_nd_sql}) "
+        f"UNION ALL "
+        f"SELECT 'audio' AS modality, src, dst, bit_dist FROM ({_aud_nd_sql}) "
+        f"UNION ALL "
+        f"SELECT 'video' AS modality, src, dst, bit_dist FROM ({_vid_nd_sql})"
+    )
+
+    o["multimodal_resize_stats"] = (
+        _unpivot_modal_sql(_img_resize_sql, "image", _IMG_RESIZE_COLS)
+        + " UNION ALL "
+        + _unpivot_modal_sql(_vid_resize_sql, "video", _VID_RESIZE_COLS)
+    )
 
     # Sub-clip containment replayed end to end: per-frame aHash from
     # the luma formula (clip frame j = base frame j+2), 3-gram Horner

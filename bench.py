@@ -39,10 +39,16 @@ def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> None:
-    """A1 + A4: exact-dup counting and count histogram on 24-char keys."""
+    """A1 + A4: exact-dup counting and count histogram on 24-char keys.
+    (The contract query folded the three histograms together in round 6;
+    this headline keeps the r1-r5 plan — uniq + multiplicity histogram,
+    no CC — so the timing series stays comparable.)"""
     import __spark_entry__ as e
 
-    _force(e.queries()["count_histogram"](spark, sf_dir))
+    _force(
+        e.queries()["exact_dup_counts"](spark, sf_dir)
+        .groupBy("cnt").count()
+    )
 
 
 def q_hamming_cc(spark: SparkSession, sf_dir: str) -> None:
@@ -189,8 +195,8 @@ def q_text_analytics(spark: SparkSession, sf_dir: str) -> None:
     """token/quality/lang/fingerprint over documents."""
     import __spark_entry__ as e
 
-    _force(e.queries()["text_stats"](spark, sf_dir))
-    _force(e.queries()["quality_class_counts"](spark, sf_dir))
+    _force(e.queries()["text_quality_stats"](spark, sf_dir))
+    _force(e.queries()["doc_class_counts"](spark, sf_dir))
 
 
 def q_minhash_sql(spark: SparkSession, sf_dir: str) -> None:

@@ -23,11 +23,11 @@ def _plan(df) -> str:
 
 
 def test_text_stats_prunes_columns(spark):
-    """text_stats touches doc_id+text only — the scan must not read the
+    """text_quality_stats touches doc_id+text only — the scan must not read the
     other documents columns (column pruning reached the parquet source)."""
     import __spark_entry__ as e
 
-    plan = _plan(e.queries()["text_stats"](spark, SF))
+    plan = _plan(e.queries()["text_quality_stats"](spark, SF))
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan, plan
     read = " ".join(scan)
@@ -106,7 +106,7 @@ def test_hamming_pairs_is_equi_join_on_chunks(spark):
     post-join filter — never an all-pairs theta join."""
     import __spark_entry__ as e
 
-    plan = _plan(e.queries()["hamming1_pairs_n12"](spark, SF))
+    plan = _plan(e.queries()["neighbour_pairs_n12"](spark, SF))
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     ), plan

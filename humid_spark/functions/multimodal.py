@@ -103,9 +103,13 @@ def decode_bmp(blob: bytes) -> tuple[int, int, str, np.ndarray]:
 
 
 def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
-    """Reverse PNG scanline filtering (types 0-4).  Up/None vectorize;
-    Sub/Average/Paeth recur along x, so those rows run a per-pixel loop —
-    fine for metadata extraction (Pillow remains the bulk-decode path)."""
+    """Reverse PNG scanline filtering (types 0-4).  None/Up/Sub
+    vectorize (Sub — the filter real encoders emit on nearly every
+    scanline — is a per-pixel-lane prefix sum: rec[x] = line[x] +
+    rec[x-bpp] mod 256, i.e. cumsum over each x % bpp lane); only
+    Average/Paeth recur on earlier x in a way cumsum can't express, so
+    those rows keep the per-pixel loop (Pillow remains the bulk-decode
+    path when installed)."""
     out = np.zeros((h, stride), dtype=np.uint8)
     raw = raw.reshape(h, stride + 1)
     for y in range(h):
@@ -115,14 +119,16 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
             rec = line
         elif ftype == 2:  # Up
             rec = (line + prev) % 256
+        elif ftype == 1:  # Sub: cumsum per pixel lane
+            rec = line.copy()
+            for k in range(bpp):
+                rec[k::bpp] = np.cumsum(rec[k::bpp], dtype=np.int64) % 256
         else:
             rec = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
                 a = rec[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                if ftype == 1:  # Sub
-                    rec[x] = (line[x] + a) % 256
-                elif ftype == 3:  # Average
+                if ftype == 3:  # Average
                     rec[x] = (line[x] + (a + b) // 2) % 256
                 elif ftype == 4:  # Paeth
                     c = prev[x - bpp] if x >= bpp else 0

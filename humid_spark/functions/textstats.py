@@ -191,16 +191,24 @@ def sql_fingerprint(text: str) -> str:
 # whole-stage codegen) and bit-identical DuckDB SQL; integer permille.
 
 def _word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams by ZIPPING the token array with its own shifts —
+    never transform(sequence(...), i -> slice(toks, i, n)): a lambda
+    that captures the derived token array re-evaluates it per element
+    (no hoisting across the lambda boundary in either engine), turning
+    n-gram GENERATION itself O(tokens^2) per row.  zip_with's lambda
+    touches only its element arguments; the shifted slices are plain
+    function arguments evaluated once.  Shorter shifts pad with NULL,
+    concat propagates the NULL, the final filter drops the tail —
+    exactly cnt-n+1 grams in document order.  Mirror: _sql_word_ngrams."""
     toks = _tokens(F.coalesce(text, F.lit("")))  # NULL text -> 0, not NULL
     cnt = F.size(toks)
-    return F.when(
-        cnt < n, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), cnt - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    g = toks
+    for k in range(1, n):
+        shifted = F.slice(
+            toks, k + 1, F.greatest(cnt - k, F.lit(0))
         )
-    )
+        g = F.zip_with(g, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(g, lambda x: x.isNotNull())
 
 
 def dup_ngram_permille(text: Column, n: int = 3) -> Column:
@@ -217,16 +225,35 @@ def dup_ngram_permille(text: Column, n: int = 3) -> Column:
 def top_ngram_share_permille(text: Column, n: int = 2) -> Column:
     """1000 * occurrences of the most frequent word-n-gram / total
     n-grams — the boilerplate-loop signal (a page that is one phrase
-    stamped 50 times scores ~1000)."""
+    stamped 50 times scores ~1000).
+
+    Max frequency via sort + ONE aggregate pass tracking the longest
+    equal-run, NOT distinct x filter (that shape is O(tokens^2) per row —
+    one long document stalls its whole task; and any formulation that
+    references a derived array from inside a lambda re-evaluates it per
+    element, which is just O(n^2) again).  O(n log n) total, same exact
+    integer result; the DuckDB twin uses list_aggregate histogram."""
     g = _word_ngrams(text, n)
     total = F.size(g)
-    maxc = F.array_max(
-        F.transform(
-            F.array_distinct(g),
-            lambda x: F.size(F.filter(g, lambda y: y == x)),
-        )
+    zero = F.lit(0).cast("long")
+    run_of = lambda acc, x: F.when(  # noqa: E731 — shared by both fields
+        acc.prev.isNull() | (acc.prev != x), F.lit(1).cast("long")
+    ).otherwise(acc.run + 1)
+    maxc = F.aggregate(
+        F.array_sort(g),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            zero.alias("run"),
+            zero.alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_of(acc, x).alias("run"),
+            F.greatest(acc.best, run_of(acc, x)).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
-    return F.when(total == 0, F.lit(0).cast("long")).otherwise(
+    return F.when(total == 0, zero).otherwise(
         F.floor(maxc * 1000 / total).cast("long")
     )
 
@@ -245,10 +272,15 @@ def mean_word_len_permille(text: Column) -> Column:
 
 
 def _sql_word_ngrams(text: str, n: int) -> str:
+    # same zip shape as _word_ngrams (list_zip pads the shorter shifts
+    # with NULL, || propagates it, the filter drops the tail); numeric
+    # struct indexes — list_zip structs are unnamed
     t = _sql_tokens(f"coalesce({text}, '')")
+    zips = ", ".join([t] + [f"{t}[{k + 1}:]" for k in range(1, n)])
+    joined = " || ' ' || ".join(f"x[{k}]" for k in range(1, n + 1))
     return (
-        f"list_transform(generate_series(1, greatest(len({t}) - {n - 1}, 0)), "
-        f"i -> array_to_string(list_slice({t}, i, i + {n - 1}), ' '))"
+        f"list_filter(list_transform(list_zip({zips}), x -> {joined}), "
+        f"y -> y IS NOT NULL)"
     )
 
 
@@ -261,14 +293,14 @@ def sql_dup_ngram_permille(text: str, n: int = 3) -> str:
 
 
 def sql_top_ngram_share_permille(text: str, n: int = 2) -> str:
+    # O(n) max frequency via the histogram list-aggregate — never
+    # distinct x filter (O(n^2)), and never a lambda capturing a derived
+    # list (DuckDB re-evaluates the captured expression per element)
     g = _sql_word_ngrams(text, n)
-    maxc = (
-        f"list_max(list_transform(list_distinct({g}), "
-        f"x -> len(list_filter({g}, y -> y = x))))"
-    )
+    maxc = f"list_max(map_values(list_aggregate({g}, 'histogram')))"
     return (
         f"(case when len({g}) = 0 then 0 else "
-        f"({maxc} * 1000) // len({g}) end)"
+        f"(CAST({maxc} AS BIGINT) * 1000) // len({g}) end)"
     )
 
 

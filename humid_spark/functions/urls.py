@@ -38,6 +38,16 @@ _TRACK = r"([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*"
 
 
 def canonical_url(url: Column) -> Column:
+    # A key with no `scheme://` prefix passes through UNCHANGED: the old
+    # behavior glued '://' onto empty extracts, silently rewriting every
+    # schemeless doc_id key to a garbled form (no false merges, but ids
+    # drifted).  Mirrored in sql_canonical_url.
+    return F.when(
+        url.rlike(_SCHEME), _canonical_url_inner(url)
+    ).otherwise(url)
+
+
+def _canonical_url_inner(url: Column) -> Column:
     s = F.regexp_replace(url, r"#.*", "")           # 1. fragment
     scheme = F.lower(F.regexp_extract(s, _SCHEME, 1))
     hostport = F.lower(F.regexp_extract(s, _HOSTPORT, 1))
@@ -62,6 +72,14 @@ def canonical_url(url: Column) -> Column:
 
 
 def sql_canonical_url(url: str) -> str:
+    inner = _sql_canonical_url_inner(url)
+    return (
+        f"(case when regexp_matches({url}, '{_SCHEME}') "
+        f"then {inner} else {url} end)"
+    )
+
+
+def _sql_canonical_url_inner(url: str) -> str:
     s = f"regexp_replace({url}, '#.*', '', 'g')"
     scheme = f"lower(regexp_extract({s}, '{_SCHEME}', 1))"
     hostport = f"lower(regexp_extract({s}, '{_HOSTPORT}', 1))"

@@ -1131,9 +1131,19 @@ class DedupIndex:
 
     @staticmethod
     def _batch_dir(base: str, batch_id: str) -> str:
+        """Filesystem-safe, INJECTIVE batch directory.  Sanitizing alone
+        is lossy ('a/b' and 'a_b' would share 'batch-a_b': the first
+        batch's parquet silently overwritten, the shared path read twice
+        by every committed-list scan) — so whenever sanitization changed
+        the id, a hash of the RAW id is appended, keeping distinct ids on
+        distinct directories with no manifest bookkeeping."""
+        import hashlib
         import re
 
         safe = re.sub(r"[^A-Za-z0-9_.-]", "_", batch_id)
+        if safe != batch_id:
+            digest = hashlib.md5(batch_id.encode()).hexdigest()[:8]
+            safe = f"{safe}-{digest}"
         return os.path.join(base, f"batch-{safe}")
 
     @staticmethod

@@ -75,6 +75,13 @@ def stream_ingest(
             delta = index.cluster_batch(res)
             cpath = os.path.join(base, "clusters")
             delta.assignments.write.mode("overwrite").parquet(cpath)
+            # within-batch verified edges exist on NO other surface (the
+            # cross near_pairs above are batch-vs-index only) — without
+            # them a sink consumer cannot reconstruct why two same-batch
+            # docs share a cluster; same overwrite-idempotent pattern
+            delta.batch_pairs.write.mode("overwrite").parquet(
+                os.path.join(base, "batch_pairs")
+            )
             # the append below ingests the WRITTEN assignments — the
             # survivors discipline (index == sink, plan executed once)
             delta.assignments = batch_df.sparkSession.read.parquet(cpath)

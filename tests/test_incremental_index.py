@@ -53,6 +53,33 @@ def test_build_collapses_exact_and_load_guards_config(index, spark):
         DedupIndex.build(_pages(spark, []), DedupConfig(), index.root)
 
 
+def test_batch_dirs_injective_for_colliding_ids(index, spark):
+    """Sanitization alone maps 'a/b' and 'a_b' onto the same directory —
+    appending the second would silently overwrite the first batch's
+    parquet while the committed list reads the shared path twice.  The
+    round-6 hash suffix keeps distinct raw ids on distinct dirs."""
+    d1 = index._batch_dir("/base", "a/b")
+    d2 = index._batch_dir("/base", "a_b")
+    d3 = index._batch_dir("/base", "a b")
+    assert len({d1, d2, d3}) == 3
+    # already-safe ids keep their legacy un-suffixed layout
+    assert index._batch_dir("/base", "stream-7").endswith("batch-stream-7")
+    # end to end: both batches' rows survive side by side
+    fresh1 = _pages(spark, [("http://f/1",
+                             "unique page one about orchestration engines "
+                             "and their scheduling of wide shuffle stages")])
+    fresh2 = _pages(spark, [("http://f/2",
+                             "unique page two about columnar file formats "
+                             "and predicate pushdown into parquet scans")])
+    r1 = index.dedup_batch(fresh1)
+    index.append(r1.survivors, "a/b")
+    r1.release()
+    r2 = index.dedup_batch(fresh2)
+    index.append(r2.survivors, "a_b")
+    r2.release()
+    assert index.uniq(spark).count() == 4  # 2 corpus + both batches
+
+
 def test_batch_classification_and_append_convergence(index, spark):
     near = BASE.replace("lazy dog", "sleepy dog")  # one-token edit
     fresh = (

@@ -23,6 +23,12 @@ CASES = [
     ("http://a.b/dir/?k=v", "http://a.b/dir?k=v"),
     ("HTTPS://UPPER.CASE/MiXeD/path", "https://upper.case/MiXeD/path"),
     ("http://plain.com/x?a=1&b=2", "http://plain.com/x?a=1&b=2"),
+    # schemeless keys pass through UNCHANGED (round 6): the old behavior
+    # glued '://' onto empty scheme/host extracts, garbling every
+    # non-URL doc key that flows through canonicalize_urls
+    ("example.com/Path?utm_source=f", "example.com/Path?utm_source=f"),
+    ("just-an-opaque-doc-key-42", "just-an-opaque-doc-key-42"),
+    ("", ""),
 ]
 
 

@@ -182,9 +182,39 @@ def q_incremental_cluster(spark: SparkSession, sf_dir: str) -> None:
         _force(delta.remap)
         delta.release()
         res.release()
+    except BaseException:
+        # failure here must not leak the temp index dir or executor
+        # storage into the remaining headlines (success hands the index
+        # to the delete/compact headline, which owns the teardown)
+        root = _INCR_STATE.pop("root", None)
+        if root:
+            shutil.rmtree(root, ignore_errors=True)
+        _INCR_STATE.clear()
+        raise
+
+
+def q_incremental_delete_compact(spark: SparkSession, sf_dir: str) -> None:
+    """Incremental tier, operations: the takedown + maintenance costs a
+    production index owner schedules.  Tombstones a 1-in-30 doc slice
+    (identity + cluster-map scrub, versioned merge-on-read commit),
+    re-runs the read path over the LIVE tombstones (uniq scan + broadcast
+    anti-join), then compact() (physical fold of batch snapshots +
+    tombstones + remap into one snapshot) and the post-fold read path."""
+    import shutil
+
+    try:
+        idx = _INCR_STATE["index"]
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        dels = docs.filter(F.col("doc_id") % 30 == 1).select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+            .alias("url")
+        )
+        idx.delete(dels)                 # tombstone write (an action)
+        _force(idx.uniq(spark))          # read path, live tombstones
+        assert idx.compact(spark) is True  # physical fold
+        _force(idx.uniq(spark))          # read path, folded
     finally:
-        # unconditional teardown: a failure here must not leak the temp
-        # index dir or executor storage into the remaining headlines
+        # unconditional teardown: end of the incremental chain
         root = _INCR_STATE.pop("root", None)
         if root:
             shutil.rmtree(root, ignore_errors=True)
@@ -206,6 +236,41 @@ def q_minhash_sql(spark: SparkSession, sf_dir: str) -> None:
     _force(e.queries()["ngram_jaccard_pairs"](spark, sf_dir))
 
 
+def q_image_phash(spark: SparkSession, sf_dir: str) -> None:
+    """Perceptual image dedup at corpus scale (VERDICT r5 item 8): one
+    64x64 planted PPM per document (~12 KB blob; pixel = deterministic
+    function of doc_id) plus a brightness-shifted copy for every 5th doc,
+    decoded through the REAL stdlib codec -> aHash in one mapInPandas
+    pass (blobs never shuffle) -> capped+salted band join.  Unlike the
+    contract query (fixed 120 planted docs, correctness-sized), this
+    scales with the corpus: 1.2x |documents| blobs at sf0.1."""
+    import numpy as np
+    import pandas as pd
+
+    from humid_spark.functions.multimodal import encode_ppm, image_near_dups
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    shifted = ids.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.lit(8).alias("shift")
+    )
+    plan = ids.select("doc_id", F.lit(0).alias("shift")).unionByName(shifted)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did, shift in zip(pdf["doc_id"], pdf["shift"]):
+                y, x = np.mgrid[0:64, 0:64]
+                base = (
+                    int(did) * 31 + y * 7 + x * 3
+                )[:, :, None] + np.arange(3) * 11
+                px = ((base % 200) + int(shift)).clip(0, 255).astype(np.uint8)
+                rows.append((f"{did}+{shift}", encode_ppm(px)))
+            yield pd.DataFrame(rows, columns=["url", "blob"])
+
+    blobs = plan.mapInPandas(gen, "url string, blob binary")
+    _force(image_near_dups(blobs, blob_col="blob"))
+
+
 def q_ann(spark: SparkSession, sf_dir: str) -> None:
     """Brute-force cosine top-k, 50 queries over the embeddings corpus."""
     from humid_spark.operators.ann import cosine_topk
@@ -224,7 +289,9 @@ QUERIES = {
     "incremental_index_build": q_incremental_build,
     "incremental_batch_dedup": q_incremental_batch,
     "incremental_cluster_update": q_incremental_cluster,
+    "incremental_delete_compact": q_incremental_delete_compact,
     "text_analytics": q_text_analytics,
+    "image_phash_near_dups": q_image_phash,
     "minhash_sql_jaccard": q_minhash_sql,
     "substring_dups": q_substring_dups,
     "ann_cosine_topk": q_ann,

@@ -157,14 +157,19 @@ def main(argv: list[str] | None = None) -> None:
             )
             res.kept.write.mode("overwrite").parquet(
                 f"{args.out_dir}/pages_curated")
-            res.funnel().write.mode("overwrite").parquet(
-                f"{args.out_dir}/funnel")
+            # run the funnel plan ONCE: collect the handful of tier rows,
+            # write the sink from the collected rows (never write-then-
+            # read-back — same single-execution discipline as the
+            # Observation pattern in the batch path below)
+            funnel_df = res.funnel()
+            funnel_rows = funnel_df.collect()
+            spark.createDataFrame(
+                funnel_rows, funnel_df.schema
+            ).write.mode("overwrite").parquet(f"{args.out_dir}/funnel")
             out = {"curated": True}
             if cfg.write_stats:
                 out["funnel"] = {
-                    r["metric"]: r["value"]
-                    for r in spark.read.parquet(
-                        f"{args.out_dir}/funnel").collect()
+                    r["metric"]: r["value"] for r in funnel_rows
                 }
             res.release()
         elif args.mode == "incremental":

@@ -23,6 +23,31 @@ from pyspark.sql import functions as F
 from humid_spark.config import DedupConfig
 
 
+def doc_id_expr(url: Column) -> Column:
+    """64-bit document identity: doc_id = xxhash64(canonical url).
+
+    Collision tolerance — documented and ACCEPTED (round 6): with n
+    distinct urls the expected number of silent id collisions is
+    ~ n^2 / 2^65 (birthday bound) — ~3 at the 100-TB aspiration of
+    10^10 pages, 0 at sandbox scale.  Blast radius of one collision
+    (pinned by tests/test_docid_collision.py):
+    - exact tier: UNAFFECTED — exact collapse keys on text_hash =
+      xxhash64(text); colliding urls with different texts stay distinct
+      uniq rows (doc_id is only the representative label).
+    - identity takedown: OVER-deletes — the identity probe semi-joins on
+      doc_id, so every text hanging under the shared id dies.  More than
+      asked, never less: the fail-safe direction for a takedown.
+    - cluster map: the real casualty — both urls are the same graph
+      node, so their clusters silently merge (wrong membership for one
+      of them).
+    Widening to a two-column 128-bit id would close the residue at the
+    cost of doubling every id-keyed shuffle key; at ~3 wrong cluster
+    memberships per 10^10 docs the 64-bit id is the right trade, and
+    this helper is the single place to widen if a deployment disagrees.
+    Tests monkeypatch this helper to a narrow hash to FORCE collisions."""
+    return F.xxhash64(url)
+
+
 def extract_last_field(col: Column, sep: str) -> Column:
     """Substring after the last `sep`; '' if `sep` does not occur.
 

@@ -620,7 +620,9 @@ class DedupIndex:
             from humid_spark.functions.urls import canonical_url
 
             url = canonical_url(url)
-        docs = pages.withColumn("doc_id", F.xxhash64(url)).withColumn(
+        from humid_spark.functions import keys
+
+        docs = pages.withColumn("doc_id", keys.doc_id_expr(url)).withColumn(
             "usable",
             F.col("text").isNotNull() & (F.length("text") >= min_len),
         ).withColumn(
@@ -874,7 +876,11 @@ class DedupIndex:
                 from humid_spark.functions.urls import canonical_url
 
                 url = canonical_url(url)
-            keys = docs.select(F.xxhash64(url).alias("doc_id")).distinct()
+            from humid_spark.functions import keys as keyfns
+
+            keys = docs.select(
+                keyfns.doc_id_expr(url).alias("doc_id")
+            ).distinct()
         if keys is not None:
             parts.append(uniq.join(_b(keys), "doc_id", "semi"))
             if self.manifest.get("clusters"):
@@ -1159,8 +1165,10 @@ class DedupIndex:
             from humid_spark.functions.urls import canonical_url
 
             url = canonical_url(url)
+        from humid_spark.functions import keys
+
         usable = (
-            pages.withColumn("doc_id", F.xxhash64(url))
+            pages.withColumn("doc_id", keys.doc_id_expr(url))
             .filter(
                 F.col("text").isNotNull()
                 & (F.length("text") >= min_len)

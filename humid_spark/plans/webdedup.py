@@ -132,8 +132,10 @@ def run_web_pipeline(
         from humid_spark.functions.urls import canonical_url
 
         url = canonical_url(url)
+    from humid_spark.functions import keys
+
     docs = (
-        pages.withColumn("doc_id", F.xxhash64(url))
+        pages.withColumn("doc_id", keys.doc_id_expr(url))
         .withColumn(
             "usable",
             F.col("text").isNotNull() & (F.length("text") >= min_len),

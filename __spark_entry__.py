@@ -1660,26 +1660,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     from the planting formula, so a decoder that misreads header,
     #     stride or channel order hash-mismatches. ---
     def image_decode_stats(s, d):
+        import numpy as _np
         import pandas as _pd
 
         from humid_spark.functions.multimodal import image_stats
 
+        # doc_id < 200: formula-pixel PPMs through the netpbm decoder;
+        # doc_id in [200, 280): 8x8-BLOCK-CONSTANT grayscale baseline
+        # JPEGs (round 6) through the REAL stdlib Huffman+IDCT decoder —
+        # block-constant + all-ones quant round-trips BIT-EXACTLY
+        # (functions/jpeg.py docstring), so the oracle replays the pixel
+        # sums from the block formula v = (did*31 + by*7 + bx*3) % 200.
         ids = _t(s, d, "documents").select("doc_id").filter(
-            F.col("doc_id") < 200
+            F.col("doc_id") < 280
         )
 
         def gen(batches):
+            from humid_spark.functions.jpeg import encode_jpeg
+
             for pdf in batches:
                 urls, blobs = [], []
                 for did in pdf["doc_id"]:
                     did = int(did)
-                    w, h = 4 + did % 5, 3 + did % 3
-                    px = bytes(
-                        (did * 31 + y * 7 + x * 3 + c * 11) % 256
-                        for y in range(h) for x in range(w) for c in range(3)
-                    )
                     urls.append(str(did))
-                    blobs.append(b"P6\n%d %d\n255\n" % (w, h) + px)
+                    if did < 200:
+                        w, h = 4 + did % 5, 3 + did % 3
+                        px = bytes(
+                            (did * 31 + y * 7 + x * 3 + c * 11) % 256
+                            for y in range(h)
+                            for x in range(w)
+                            for c in range(3)
+                        )
+                        blobs.append(b"P6\n%d %d\n255\n" % (w, h) + px)
+                        continue
+                    bw, bh = 2 + did % 3, 1 + did % 2
+                    by, bx = _np.mgrid[0:bh, 0:bw]
+                    bv = (did * 31 + by * 7 + bx * 3) % 200
+                    gray = bv.repeat(8, axis=0).repeat(8, axis=1)
+                    blobs.append(encode_jpeg(gray.astype(_np.uint8)))
                 yield _pd.DataFrame({"url": urls, "blob": blobs})
 
         planted = ids.mapInPandas(
@@ -3059,6 +3077,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(g_sum AS BIGINT) AS g_sum,
                CAST(b_sum AS BIGINT) AS b_sum
         FROM sums
+        UNION ALL
+        SELECT url, width, height, format, decoded, channels,
+               r_sum, g_sum, b_sum
+        FROM (
+          WITH jids AS (
+            SELECT doc_id, 2 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+            FROM documents WHERE doc_id >= 200 AND doc_id < 280
+          ),
+          blocks AS (
+            SELECT j.doc_id, j.bw, j.bh,
+                   (j.doc_id * 31 + by.by * 7 + bx.bx * 3) % 200 AS v
+            FROM jids j,
+                 unnest(generate_series(0, j.bh - 1)) AS by(by),
+                 unnest(generate_series(0, j.bw - 1)) AS bx(bx)
+          ),
+          agg AS (
+            SELECT doc_id, any_value(bw) AS bw, any_value(bh) AS bh,
+                   CAST(64 * sum(v) AS BIGINT) AS s
+            FROM blocks GROUP BY doc_id
+          )
+          SELECT CAST(doc_id AS VARCHAR) AS url,
+                 CAST(bw * 8 AS INTEGER) AS width,
+                 CAST(bh * 8 AS INTEGER) AS height,
+                 'JPEG' AS format, TRUE AS decoded,
+                 CAST(1 AS INTEGER) AS channels,
+                 s AS r_sum,
+                 CAST(NULL AS BIGINT) AS g_sum,
+                 CAST(NULL AS BIGINT) AS b_sum
+          FROM agg
+        )
     """
 
     # Audio features computed from the planting formula, never from

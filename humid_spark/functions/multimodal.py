@@ -176,7 +176,9 @@ def decode_png(blob: bytes) -> tuple[int, int, str, np.ndarray]:
     return w, h, "PNG", px
 
 
-_STDLIB_DECODERS = (decode_png, decode_bmp, decode_ppm)
+from humid_spark.functions.jpeg import decode_jpeg  # noqa: E402
+
+_STDLIB_DECODERS = (decode_png, decode_bmp, decode_ppm, decode_jpeg)
 
 
 def decode_image(blob: bytes) -> tuple[int, int, str, np.ndarray] | None:

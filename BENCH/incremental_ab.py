@@ -37,6 +37,7 @@ CORPUS = os.path.join(HERE, "data", "pages_bench_1m")
 BATCH_SRC = os.path.join(HERE, "data", "pages_bench_3m")
 IDX = os.path.join(HERE, "data", "incr_ab_idx")
 IDX_C = os.path.join(HERE, "data", "incr_ab_idx_clusters")
+IDX_DEL = os.path.join(HERE, "data", "incr_ab_idx_del")
 BATCH_MOD = 30
 BATCH_REM = 7
 
@@ -139,7 +140,49 @@ def run_child(mode: str) -> None:
         }
         delta.release()
         res.release()
-    if mode not in ("classify", "cluster_update"):
+    elif mode == "classify_del":
+        # read path of the delete-A/B index copy in its CURRENT state
+        # (clean / live tombstones / compacted — the parent sequences it)
+        from humid_spark.plans.incremental import DedupIndex
+
+        idx = DedupIndex.load(IDX_DEL, cfg)
+        res = idx.dedup_batch(_batch(spark))
+        res.survivors.write.format("noop").mode("overwrite").save()
+        res.near_pairs.write.format("noop").mode("overwrite").save()
+        elapsed = round(time.perf_counter() - t0, 2)
+        rows = {
+            "tombstone_rows": idx.manifest.get("delete_rows", 0),
+            "survivors": res.survivors.count(),
+        }
+        res.release()
+    elif mode == "delete_tombstone":
+        # takedown cost: resolve a 1% url slice against the corpus-sized
+        # index (column-pruned scans probed by broadcast keys) and commit
+        # the versioned tombstone table
+        from humid_spark.plans.incremental import DedupIndex
+
+        idx = DedupIndex.load(IDX_DEL, cfg)
+        dels = (
+            spark.read.parquet(CORPUS)
+            .filter(F.pmod(F.xxhash64("url"), F.lit(100)) == 3)
+            .select("url")
+        )
+        n = idx.delete(dels)
+        elapsed = round(time.perf_counter() - t0, 2)
+        rows = {"deleted": n,
+                "tombstone_rows": idx.manifest.get("delete_rows", 0)}
+    elif mode == "compact_fold":
+        # maintenance cost: physically fold batch snapshots + tombstones
+        # + remap into one snapshot (the cadence the sizing rule bounds)
+        from humid_spark.plans.incremental import DedupIndex
+
+        idx = DedupIndex.load(IDX_DEL, cfg)
+        folded = idx.compact(spark)
+        elapsed = round(time.perf_counter() - t0, 2)
+        rows = {"folded": folded,
+                "tombstone_rows": idx.manifest.get("delete_rows", 0)}
+    if mode not in ("classify", "cluster_update", "classify_del",
+                    "delete_tombstone", "compact_fold"):
         elapsed = round(time.perf_counter() - t0, 2)
     out = {"mode": mode, "elapsed_sec": elapsed}
     if rows:
@@ -159,12 +202,22 @@ def main() -> None:
              "phase as the comparator); merged into incremental_ab.json "
              "under 'cluster_ab' with its own window telemetry",
     )
+    ap.add_argument(
+        "--delete-ab", action="store_true",
+        help="measure takedown + compaction on a copy of the 1M cluster "
+             "index: classify clean -> delete 1%% -> classify tombstoned "
+             "-> compact -> classify folded; merged into "
+             "incremental_ab.json under 'delete_ab'",
+    )
     args = ap.parse_args()
     if args.child:
         run_child(args.child)
         return
     if args.cluster_ab:
         _cluster_ab()
+        return
+    if args.delete_ab:
+        _delete_ab()
         return
 
     results = {m: _run_mode(m) for m in ("ingest", "classify", "full")}
@@ -204,6 +257,51 @@ def _run_mode(mode: str) -> dict:
     )
     print(mode, "->", out, flush=True)
     return out
+
+
+def _delete_ab() -> None:
+    """Takedown + compaction A/B at the 1M index (VERDICT r5 item 2):
+    classify clean -> delete 1% (tombstone write) -> classify with LIVE
+    tombstones (merge-on-read overhead) -> compact (physical fold) ->
+    classify folded.  Runs on a throwaway COPY of the cluster index so
+    the committed ingest/classify A/B state stays pristine; fresh JVM
+    per step, one host window, own uptime telemetry."""
+    import shutil
+
+    shutil.rmtree(IDX_DEL, ignore_errors=True)
+    shutil.copytree(IDX_C, IDX_DEL)
+    seq = [
+        ("classify_clean", "classify_del"),
+        ("delete_tombstone", "delete_tombstone"),
+        ("classify_tombstoned", "classify_del"),
+        ("compact_fold", "compact_fold"),
+        ("classify_compacted", "classify_del"),
+    ]
+    results = {label: _run_mode(mode) for label, mode in seq}
+    try:
+        with open("/proc/uptime") as f:
+            uptime_h = round(float(f.read().split()[0]) / 3600, 2)
+    except OSError:
+        uptime_h = None
+    clean = results["classify_clean"].get("elapsed_sec")
+    tomb = results["classify_tombstoned"].get("elapsed_sec")
+    block = {
+        "protocol": "local[8] kperm 12g, fresh JVM per step, one window, "
+                    "sequential on a copy of the 1M cluster index",
+        "results": results,
+        "tombstone_read_overhead": (
+            round(tomb / clean, 3) if clean and tomb else None
+        ),
+        "uptime_h": uptime_h,
+    }
+    path = os.path.join(HERE, "incremental_ab.json")
+    with open(path) as f:
+        summary = json.load(f)
+    summary["delete_ab"] = block
+    with open(path, "w") as f:
+        json.dump(summary, f, indent=1)
+    shutil.rmtree(IDX_DEL, ignore_errors=True)
+    print(json.dumps(block))
 
 
 def _cluster_ab() -> None:

@@ -68,6 +68,9 @@ PAIRS = {
     # side at 1M rows to ~8% at 3M, which is the regime a real
     # many-minute-action cluster job runs in (BENCH/BASELINE.md).
     "kperm3 2->8 sim": ("kperm", "pages_bench_3m", 2, "0-1", 8, "8-15"),
+    # round 6: the gate pair at 3x input — the amortization point for the
+    # 1->4 gate itself (4-core wall ~30 min, serial budget <5% of it)
+    "kperm14_3m 1->4 sim": ("kperm", "pages_bench_3m", 1, "0", 4, "8-11"),
 }
 
 

@@ -57,6 +57,15 @@ REP_WINDOWS = {
                 "the r5 rep — the documented decay signature (multicore "
                 "side decays ~2x harder)",
     },
+    ("kperm14_3m 1->4 sim", None): {
+        "round": 6,
+        "uptime_h": 49.94,
+        "canary_pages_per_sec": 11878.2,
+        "note": "amortization rep at 3x input, launched right after this "
+                "canary read — the WORST window of the three (canary -35% "
+                "vs the r5 gate window), so its efficiency reads the "
+                "serial-amortization effect net of maximal decay",
+    },
 }
 
 
@@ -77,8 +86,8 @@ def main() -> None:
         if "efficiency" not in r:
             continue
         win = REP_WINDOWS.get((r["label"], r.get("at")))
-        if win is None and r["label"] == "kperm14 1->4 sim":
-            win = REP_WINDOWS[("kperm14 1->4 sim", None)]
+        if win is None:
+            win = REP_WINDOWS.get((r["label"], None))
         gate_reps.append({
             "label": r["label"],
             "at": r.get("at"),

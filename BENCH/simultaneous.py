@@ -84,7 +84,7 @@ def _run(cores: int, cpuset: str, scheme: str, data: str, out: dict, key: str):
     # to the state file either way).
     try:
         res = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                             timeout=7200, check=False)
+                             timeout=10800, check=False)
     except Exception as exc:  # TimeoutExpired, OSError, ...
         out[key] = {"error": f"{type(exc).__name__}: {exc}"}
         return

@@ -1251,6 +1251,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fingerprint_exact_dups"] = fp_dups
 
+    # --- decontamination: benchmark n-gram overlap (round 6) ---
+    def decontaminate_q(s, d):
+        """GPT-3-style eval decontamination over the documents table.
+        The benchmark is synthesized deterministically from the corpus
+        itself: every doc_id % 23 == 3 contributes a 20-token prompt
+        sliced from the middle of its own text (tokens 11..30), so each
+        source doc is contaminated by construction whenever it has
+        >= 11+8 tokens, shorter docs exercise the empty-gram path, and
+        any additional hits are genuine cross-doc 8-gram repeats — all
+        replayable in SQL gram-for-gram (functions/textstats twins)."""
+        from humid_spark.functions.textstats import _tokens
+        from humid_spark.operators.decontam import contamination_stats
+
+        docs = _t(s, d, "documents")
+        prompt = F.concat_ws(
+            " ", F.slice(_tokens(F.coalesce(F.col("text"), F.lit(""))),
+                         11, 20)
+        )
+        bench = docs.filter(F.col("doc_id") % 23 == 3).select(
+            prompt.alias("prompt")
+        )
+        return contamination_stats(docs, bench, n=8, prompt_col="prompt")
+
+    q["decontaminate"] = decontaminate_q
+
+    # --- PII scrub: emails / IPv4 / SSN-shaped ids (round 6) ---
+    def pii_scrub_stats(s, d):
+        """Counts + scrubbed-text digest per doc.  The corpus is lorem
+        text (no real PII), so PII is PLANTED deterministically from
+        doc_id: % 11 == 4 docs get two emails, % 13 == 6 docs get an
+        IPv4 + an SSN-shaped id (docs ≡ 58 mod 143 get both tails).
+        scrubbed_md5
+        hash-checks the full redacted text without shipping it."""
+        from humid_spark.functions import pii
+
+        t = F.coalesce(F.col("text"), F.lit(""))
+        planted = F.concat(
+            t,
+            F.when(
+                F.col("doc_id") % 11 == 4,
+                F.concat(F.lit(" contact user"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.org or admin@mail.example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 6,
+                F.concat(F.lit(" host 10.0."),
+                         (F.col("doc_id") % 256).cast("string"),
+                         F.lit(".7 ssn 123-45-6789")),
+            ).otherwise(F.lit("")),
+        )
+        return _t(s, d, "documents").select(
+            "doc_id", planted.alias("pt")
+        ).select(
+            "doc_id",
+            pii.email_count(F.col("pt")).alias("n_emails"),
+            pii.ipv4_count(F.col("pt")).alias("n_ips"),
+            pii.ssn_count(F.col("pt")).alias("n_ssns"),
+            F.md5(pii.scrub_pii(F.col("pt"))).alias("scrubbed_md5"),
+        )
+
+    q["pii_scrub_stats"] = pii_scrub_stats
+
     # --- relational coverage (agg / join / window over TPC-H-ish tables) ---
     def pricing(s, d):
         li = _t(s, d, "lineitem")
@@ -1443,24 +1506,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return base.unionByName(pert)
 
     def emb_near_dups(s, d):
+        """Round-6 fold of embedding_near_dups + embedding_near_dups_wide
+        (one recorded row, both configs hash-checked): mode 'bf16' is the
+        16-bit/4-band/max_bits=3 pigeonhole-exhaustive config (oracle =
+        brute-force hamming), mode 'wide60' is the library default
+        (60-bit/15-bit bands, oracle replays the banding itself)."""
         from humid_spark.operators.embdedup import embedding_near_dup_pairs
 
-        return embedding_near_dup_pairs(
-            _emb_planted(s, d), cos_threshold=0.99,
-            bits=16, n_bands=4, max_bits=3,
-        ).withColumn("bit_dist", F.col("bit_dist").cast("long"))
+        base = _emb_planted(s, d)
+
+        def tagged(mode, **kw):
+            return embedding_near_dup_pairs(
+                base, cos_threshold=0.99, **kw
+            ).select(
+                F.lit(mode).alias("mode"), "src", "dst",
+                F.col("bit_dist").cast("long").alias("bit_dist"),
+                "cos_permille",
+            )
+
+        return tagged("bf16", bits=16, n_bands=4, max_bits=3).unionByName(
+            tagged("wide60")
+        )
 
     q["embedding_near_dups"] = emb_near_dups
-
-    def emb_near_dups_wide(s, d):
-        from humid_spark.operators.embdedup import embedding_near_dup_pairs
-
-        # library defaults: bits=60, n_bands=4 (15-bit bands), max_bits=11
-        return embedding_near_dup_pairs(
-            _emb_planted(s, d), cos_threshold=0.99,
-        ).withColumn("bit_dist", F.col("bit_dist").cast("long"))
-
-    q["embedding_near_dups_wide"] = emb_near_dups_wide
 
     def emb_incremental(s, d):
         """Incremental tier for EMBEDDINGS: a batch of vectors
@@ -2228,13 +2296,15 @@ _ORDER = [
     "simhash_near_dups", "web_dedup_funnel",
     "incremental_exact_dedup", "incremental_near_dups",
     "incremental_clusters", "streaming_incremental_ingest",
-    # curation / text analysis
+    # curation / text analysis (round 6 adds decontamination + PII scrub)
     "text_quality_stats", "doc_class_counts", "url_canonical_dups",
     "stratified_sample", "curation_funnel", "fingerprint_exact_dups",
+    "decontaminate", "pii_scrub_stats",
     # relational coverage (agg / join / window)
     "pricing_summary", "top_customers", "events_daily", "user_sessions",
-    # embeddings / ANN
-    "embedding_near_dups", "embedding_near_dups_wide",
+    # embeddings / ANN (embedding_near_dups carries bf16 + wide60 modes —
+    # round-6 fold of the former embedding_near_dups_wide row)
+    "embedding_near_dups",
     "ann_cosine_topk", "ann_hyperplane_int", "ann_ivf_full_probe",
     # documented-approximate tail (pytest recall + exact twins above)
     "ann_hyperplane_topk",
@@ -2527,6 +2597,59 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT {ts.sql_fingerprint('text')} AS fp, count(*) AS n, "
         f"min(doc_id) AS keep_doc_id FROM documents GROUP BY 1"
     )
+
+    # --- decontamination: gram-for-gram replay of the benchmark-overlap
+    #     broadcast join (operators/decontam.py).  The prompt is the
+    #     lowercased token slice 11..30 of every doc_id % 23 == 3 doc;
+    #     matched_ngrams counts DISTINCT doc 8-grams hitting the distinct
+    #     benchmark gram set. ---
+    _toks = ts._sql_tokens("coalesce(text, '')")
+    o["decontaminate"] = f"""
+        WITH bench AS (
+          SELECT array_to_string({_toks}[11:30], ' ') AS prompt
+          FROM documents WHERE doc_id % 23 = 3
+        ),
+        bgrams AS (
+          SELECT DISTINCT unnest({ts.sql_word_ngrams('prompt', 8)}) AS g
+          FROM bench
+        ),
+        dgrams AS (
+          SELECT doc_id,
+                 unnest(list_distinct({ts.sql_word_ngrams('text', 8)})) AS g
+          FROM documents
+        ),
+        m AS (
+          SELECT dg.doc_id, count(*) AS c
+          FROM dgrams dg JOIN bgrams b USING (g) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(m.c, 0) AS BIGINT) AS matched_ngrams,
+               coalesce(m.c, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN m USING (doc_id)
+    """
+
+    from humid_spark.functions import pii as _pii
+
+    o["pii_scrub_stats"] = f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 coalesce(text, '')
+                 || CASE WHEN doc_id % 11 = 4
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.org or admin@mail.example.com'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 13 = 6
+                    THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                         || '.7 ssn 123-45-6789'
+                    ELSE '' END AS pt
+          FROM documents)
+        SELECT doc_id,
+               {_pii.sql_email_count('pt')} AS n_emails,
+               {_pii.sql_ipv4_count('pt')} AS n_ips,
+               {_pii.sql_ssn_count('pt')} AS n_ssns,
+               md5({_pii.sql_scrub_pii('pt')}) AS scrubbed_md5
+        FROM planted
+    """
 
     # --- incremental (batch-vs-index) dedup: replay the index/batch split
     #     and the planted re-entries, then the anti-join / asymmetric band
@@ -2859,7 +2982,7 @@ def oracle_sql() -> dict[str, str]:
 
     # 16-bit variant: hamming<=3 over 4 bands is pigeonhole-exhaustive, so
     # brute-force hamming IS the band-blocked set — the cheap oracle.
-    o["embedding_near_dups"] = f"""
+    _emb_bf16_sql = f"""
         WITH {_emb_sig_ctes(16)},
         cand AS (
           SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -2878,7 +3001,7 @@ def oracle_sql() -> dict[str, str]:
     # integer shift/mask (the 60-bit signature is non-negative, so
     # arithmetic and unsigned shifts agree between Spark and DuckDB) —
     # hash-checking the exact candidate machinery the library default runs.
-    o["embedding_near_dups_wide"] = f"""
+    _emb_wide_sql = f"""
         WITH {_emb_sig_ctes(60)},
         bands AS (
           SELECT s.vec_id, s.esig, b.b AS band,
@@ -2899,6 +3022,14 @@ def oracle_sql() -> dict[str, str]:
           WHERE bit_count(xor(sa.esig, sb.esig)) <= 11
         ),
         {_emb_verify_sql}
+    """
+
+    # round-6 fold: one recorded row carries BOTH configs (see the
+    # emb_near_dups docstring in queries())
+    o["embedding_near_dups"] = f"""
+        SELECT 'bf16' AS mode, * FROM ({_emb_bf16_sql})
+        UNION ALL
+        SELECT 'wide60' AS mode, * FROM ({_emb_wide_sql})
     """
 
     # incremental embedding dedup: batch (vec_id % 3 == 0 + perturbed

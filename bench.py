@@ -236,6 +236,17 @@ def q_minhash_sql(spark: SparkSession, sf_dir: str) -> None:
     _force(e.queries()["ngram_jaccard_pairs"](spark, sf_dir))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> None:
+    """Benchmark n-gram decontamination (n=8 over the short synthetic
+    docs; the library default is the GPT-3-style 13) + PII scrub over the
+    documents corpus (round 6): the bench side is deduped+broadcast, the
+    corpus side never shuffles for the flag."""
+    import __spark_entry__ as e
+
+    _force(e.queries()["decontaminate"](spark, sf_dir))
+    _force(e.queries()["pii_scrub_stats"](spark, sf_dir))
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> None:
     """Perceptual image dedup at corpus scale (VERDICT r5 item 8): one
     64x64 planted PPM per document (~12 KB blob; pixel = deterministic
@@ -291,6 +302,7 @@ QUERIES = {
     "incremental_cluster_update": q_incremental_cluster,
     "incremental_delete_compact": q_incremental_delete_compact,
     "text_analytics": q_text_analytics,
+    "decontaminate_pii": q_decontaminate,
     "image_phash_near_dups": q_image_phash,
     "minhash_sql_jaccard": q_minhash_sql,
     "substring_dups": q_substring_dups,

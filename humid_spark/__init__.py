@@ -40,11 +40,16 @@ def __getattr__(name):  # lazy: pipelines pull pyspark.sql at import time
         from humid_spark.plans.incremental import DedupIndex
 
         return DedupIndex
+    if name in ("decontaminate", "contamination_stats"):
+        from humid_spark.operators import decontam
+
+        return getattr(decontam, name)
     raise AttributeError(name)
 
 
 __all__ = [
     "DedupConfig", "get_spark", "run_pipeline", "run_web_pipeline",
-    "run_curation_pipeline", "DedupIndex",
+    "run_curation_pipeline", "DedupIndex", "decontaminate",
+    "contamination_stats",
 ]
 __version__ = "0.1.0"

@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="web mode: add the winnowing containment pass "
                         "(substring dups LSH misses); cap demotions are "
                         "reported in the run summary")
+    p.add_argument("--bench", default=None, metavar="PARQUET",
+                   help="curate mode: benchmark table (a 'text' column); "
+                        "pages sharing any word 13-gram with it are "
+                        "dropped at the decontamination tier")
     p.add_argument("--noisy-rate", type=int, default=1000,
                    help="curate mode: permille of 'noisy'-class pages to "
                         "keep (deterministic md5 sample; default 1000 = "
@@ -154,6 +158,8 @@ def main(argv: list[str] | None = None) -> None:
             res = run_curation_pipeline(
                 pages, cfg,
                 sample_rates={"noisy": args.noisy_rate},
+                bench=(spark.read.parquet(args.bench)
+                       if args.bench else None),
             )
             res.kept.write.mode("overwrite").parquet(
                 f"{args.out_dir}/pages_curated")

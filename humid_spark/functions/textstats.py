@@ -211,6 +211,13 @@ def _word_ngrams(text: Column, n: int) -> Column:
     return F.filter(g, lambda x: x.isNotNull())
 
 
+# public names for the n-gram twins (operators/decontam.py builds the
+# benchmark-overlap join on exactly this tokenization so its DuckDB
+# oracle replays gram-for-gram)
+def word_ngrams(text: Column, n: int) -> Column:
+    return _word_ngrams(text, n)
+
+
 def dup_ngram_permille(text: Column, n: int = 3) -> Column:
     """1000 * duplicated word-n-grams / total n-grams (0 when fewer than
     n tokens): the share of the document that repeats itself."""
@@ -282,6 +289,11 @@ def _sql_word_ngrams(text: str, n: int) -> str:
         f"list_filter(list_transform(list_zip({zips}), x -> {joined}), "
         f"y -> y IS NOT NULL)"
     )
+
+
+def sql_word_ngrams(text: str, n: int) -> str:
+    """Public twin of word_ngrams (see the alias above)."""
+    return _sql_word_ngrams(text, n)
 
 
 def sql_dup_ngram_permille(text: str, n: int = 3) -> str:

@@ -33,7 +33,8 @@ class CurationResult:
     pages: DataFrame      # the raw input
     gated: DataFrame      # after the quality gate
     sampled: DataFrame    # after the deterministic sample
-    web: WebDedupResult   # dedup tiers over the sampled pages
+    clean: DataFrame      # after decontamination (== sampled w/o bench)
+    web: WebDedupResult   # dedup tiers over the clean pages
     kept: DataFrame       # one representative page per cluster
 
     def release(self, checkpoints: bool = False) -> None:
@@ -49,12 +50,14 @@ class CurationResult:
             self.pages.agg(F.count(F.lit(1)).alias("n_input")),
             self.gated.agg(F.count(F.lit(1)).alias("gated")),
             self.sampled.agg(F.count(F.lit(1)).alias("sampled")),
+            self.clean.agg(F.count(F.lit(1)).alias("clean")),
         ])
         head = row.selectExpr(
-            "stack(3, "
+            "stack(4, "
             "'n_input', n_input, "
             "'quality_removed', n_input - gated, "
-            "'sample_removed', gated - sampled"
+            "'sample_removed', gated - sampled, "
+            "'contaminated_removed', sampled - clean"
             ") AS (metric, value)"
         )
         return head.unionByName(self.web.funnel())
@@ -67,18 +70,36 @@ def run_curation_pipeline(
     quality_drop: tuple[str, ...] = ("short",),
     sample_rates: dict[str, int] | None = None,
     default_rate: int = 1000,
+    bench: DataFrame | None = None,
+    decontam_n: int = 13,
+    decontam_prompt_col: str = "text",
 ) -> CurationResult:
     """quality_drop: quality classes removed outright.  sample_rates:
     permille kept per remaining quality class (md5-gated on url; classes
-    absent from the map keep default_rate).  Dedup semantics — schemes,
-    thresholds, containment, url canonicalization — come from cfg."""
+    absent from the map keep default_rate).  bench: optional benchmark
+    table — pages sharing any word decontam_n-gram with it are dropped
+    (operators/decontam.py; hashed broadcast, runs AFTER the sample so a
+    sampled-away page never costs a gram explode).  Dedup semantics —
+    schemes, thresholds, containment, url canonicalization — come from
+    cfg."""
     qc = quality_class(F.col("text"))
     gated = pages.filter(~qc.isin(list(quality_drop)))
     rate = F.lit(default_rate)
     for cls, permille in (sample_rates or {}).items():
         rate = F.when(qc == cls, F.lit(permille)).otherwise(rate)
     sampled = gated.filter(sample_flag(F.col("url"), rate))
-    web = run_web_pipeline(sampled, cfg)
+    if bench is not None:
+        from humid_spark.operators.decontam import decontaminate
+
+        clean = decontaminate(
+            sampled, bench, decontam_n,
+            id_col=["url", "warc_ts"], prompt_col=decontam_prompt_col,
+            hashed=True,
+        )
+    else:
+        clean = sampled
+    web = run_web_pipeline(clean, cfg)
     return CurationResult(
-        pages=pages, gated=gated, sampled=sampled, web=web, kept=web.dedup
+        pages=pages, gated=gated, sampled=sampled, clean=clean, web=web,
+        kept=web.dedup,
     )

@@ -345,3 +345,41 @@ def test_cli_curate_mode(spark, tmp_path):
     kept = spark.read.parquet(os.path.join(out, "pages_curated")).count()
     assert funnel["kept"] == kept > 0
     assert funnel["n_input"] >= funnel["kept"]
+    assert funnel["contaminated_removed"] == 0  # no --bench given
+
+
+def test_cli_curate_bench_decontamination(spark, tmp_path):
+    """--bench drops pages overlapping the benchmark at the
+    decontamination tier and the funnel records the removals."""
+    from pyspark.sql import functions as F
+
+    from humid_spark.sources.pages import fx_webtext, to_spark
+
+    src, out = str(tmp_path / "pages"), str(tmp_path / "out")
+    bench = str(tmp_path / "bench")
+    log = str(tmp_path / "run.log")
+    pages = to_spark(spark, fx_webtext(n_seeds=15))
+    pages.write.parquet(src)
+    # benchmark = a 20-token slice of one real page -> >=1 contaminated
+    pages.filter(F.col("url") == "seed3").select(
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower(F.col("text")), r"\s+"), 5, 20)
+        ).alias("text")
+    ).write.parquet(bench)
+    env = dict(os.environ, PYTHONPATH=ROOT)
+    res = subprocess.run(
+        [sys.executable, "-m", "humid_spark", "--mode", "curate", "-s",
+         "--bench", bench, "-l", log, "--cores", "4", "-d", out, src],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    with open(log) as f:
+        summary = json.loads(f.read().strip().splitlines()[-1])
+    funnel = summary["outputs"]["funnel"]
+    assert funnel["contaminated_removed"] >= 1
+    urls = {
+        r["url"] for r in
+        spark.read.parquet(os.path.join(out, "pages_curated")).collect()
+    }
+    assert "seed3" not in urls

@@ -34,6 +34,31 @@ def test_curation_funnel_identities(spark):
     res.release()
 
 
+def test_curation_decontamination_tier(spark):
+    pages = to_spark(spark, fx_webtext(n_seeds=15))
+    # bench prompts sliced verbatim from two sampled seed pages: those
+    # pages (and their near-dup variants sharing the 13-gram) must fall
+    # at the decontamination tier, everything else must survive intact
+    base = run_curation_pipeline(pages, DedupConfig())
+    donors = base.sampled.filter(F.col("url").isin("seed3", "seed7"))
+    bench = donors.select(
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower(F.col("text")), r"\s+"), 5, 20)
+        ).alias("text")
+    )
+    res = run_curation_pipeline(pages, DedupConfig(), bench=bench)
+    f = {r["metric"]: r["value"] for r in res.funnel().collect()}
+    assert f["contaminated_removed"] >= 2  # at least the two donors
+    assert res.clean.count() == res.sampled.count() - f["contaminated_removed"]
+    surviving = {r["url"] for r in res.clean.select("url").collect()}
+    assert "seed3" not in surviving and "seed7" not in surviving
+    # no-bench runs are unchanged: clean == sampled, tier count 0
+    fb = {r["metric"]: r["value"] for r in base.funnel().collect()}
+    assert fb["contaminated_removed"] == 0
+    base.release()
+    res.release()
+
+
 def test_curation_sample_is_reproducible(spark):
     pages = to_spark(spark, fx_webtext(n_seeds=20))
     a = run_curation_pipeline(pages, DedupConfig(),

@@ -361,11 +361,15 @@ def test_cli_curate_bench_decontamination(spark, tmp_path):
     pages = to_spark(spark, fx_webtext(n_seeds=15))
     pages.write.parquet(src)
     # benchmark = a 20-token slice of one real page -> >=1 contaminated
-    pages.filter(F.col("url") == "seed3").select(
+    # (fixture urls are https://fx-webtext.example/<hint>/<i>, so match
+    # the hint as a path segment; the trailing slash excludes seed3-dupN)
+    bench_df = pages.filter(F.col("url").contains("/seed3/")).select(
         F.concat_ws(
             " ", F.slice(F.split(F.lower(F.col("text")), r"\s+"), 5, 20)
         ).alias("text")
-    ).write.parquet(bench)
+    )
+    assert bench_df.count() >= 1  # the plant must be non-empty
+    bench_df.write.parquet(bench)
     env = dict(os.environ, PYTHONPATH=ROOT)
     res = subprocess.run(
         [sys.executable, "-m", "humid_spark", "--mode", "curate", "-s",
@@ -382,4 +386,4 @@ def test_cli_curate_bench_decontamination(spark, tmp_path):
         r["url"] for r in
         spark.read.parquet(os.path.join(out, "pages_curated")).collect()
     }
-    assert "seed3" not in urls
+    assert not any("/seed3/" in u for u in urls), "donor page survived"

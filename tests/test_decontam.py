@@ -10,9 +10,10 @@ from pyspark.sql import functions as F
 from humid_spark.operators.decontam import contamination_stats, decontaminate
 
 # 5-token prompts; n=3 grams.  doc 1 contains prompt A verbatim, doc 2
-# contains a 3-token suffix of prompt B (1 shared gram), doc 3 repeats a
-# matching gram twice (distinct-count must still say 1), doc 4 is clean,
-# doc 5 is NULL text, doc 6 is too short for any 3-gram.
+# contains a 4-token infix of prompt B ("over the lazy dog" -> 2 shared
+# grams: "over the lazy" and "the lazy dog"), doc 3 repeats a matching
+# gram twice (distinct-count must still say 1), doc 4 is clean, doc 5 is
+# NULL text, doc 6 is too short for any 3-gram.
 DOCS = [
     (1, "x y the quick brown fox jumps z"),
     (2, "intro over the lazy dog outro"),
@@ -28,7 +29,7 @@ BENCH = [
 # doc -> (matched_3grams, contaminated)
 EXPECT = {
     1: (3, True),   # all 3 grams of prompt A
-    2: (1, True),   # 'the lazy dog'
+    2: (2, True),   # 'over the lazy' + 'the lazy dog'
     3: (1, True),   # 'the quick brown', deduped within the doc
     4: (0, False),
     5: (0, False),
@@ -69,15 +70,20 @@ def test_decontaminate_keeps_full_schema(spark):
 
 
 def test_bench_side_is_broadcast(spark):
+    import re
+
     docs, bench = _frames(spark)
     plan = contamination_stats(docs, bench, n=3)._jdf.queryExecution() \
         .executedPlan().toString()
-    # the gram join builds on the bench side; the only hash exchange in
-    # the whole plan is the doc_id partial-aggregate (never the gram set)
+    # the gram join builds on the bench side, so the corpus gram stream
+    # feeds a BroadcastHashJoin directly and never hash-partitions.  The
+    # only legitimate exchanges: doc_id aggregation/join exchanges, plus
+    # at most one gram exchange — the eval-set-sized bench-side
+    # distinct() inside the broadcast subtree.
     assert "BroadcastHashJoin" in plan
-    assert plan.count("Exchange hashpartitioning") <= plan.count(
-        "hashpartitioning(doc_id"
-    )
+    ex_cols = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert all(c in ("doc_id", "g") for c in ex_cols), ex_cols
+    assert ex_cols.count("g") <= 1, plan
 
 
 def test_prompt_tokenization_is_case_insensitive(spark):

@@ -17,16 +17,21 @@ and at the end that the incremental map equals a from-scratch rebuild
 over the union corpus (the bridges only ever link INDEXED docs, so the
 documented chains-through-dropped-docs divergence cannot trigger).
 
-Fixture geometry (overlapping 30-unit blocks, proven in
-test_incremental_clusters): corpus doc D_t = P_t + P_{t+1} gives
-J(D_t, D_{t+1}) = 1/3 (no merges at build); bridge Z_t = P_t + P_{t+1} +
-P_{t+2} gives J(Z_t, D_t) = J(Z_t, D_{t+1}) = 2/3 (merges exactly those
-two components) and J(Z_t, D_{t+2}) = 1/4 (no extra edges).  With
-32 bands x 4 rows and threshold 0.5 the levels split with ~4-sigma
-margin on the 128-perm estimate.
+Fixture geometry (overlapping blocks of per-block RANDOM words — the
+engine MinHashes byte 5-shingles, so the blocks must be separated in
+CHAR-shingle Jaccard, not word Jaccard; a shared "blk{t}w{i}" scaffold
+puts adjacent docs at true shingle-J 0.478, within estimator noise of
+the 0.5 threshold): corpus doc D_t = P_t + P_{t+1} measures
+J(D_t, D_{t+1}) = 0.331 (no merges at build); bridge Z_t = P_t + P_{t+1}
++ P_{t+2} measures J(Z_t, D_t) = J(Z_t, D_{t+1}) = 0.666 (merges exactly
+those two components) and J(Z_t, D_{t+2}) = 0.248 (no extra edges).
+With 128 perms and threshold 0.5 every level splits with >= 4-sigma
+margin (sigma ~= 0.042).
 """
 
 from __future__ import annotations
+
+import random
 
 import pytest
 
@@ -38,11 +43,21 @@ N_BATCHES = 100
 
 
 def _block(t: int) -> str:
-    return " ".join(f"blk{t}w{i} unit{t}x{i}" for i in range(30))
+    # per-block RNG: blocks share no character scaffolding, so the
+    # char-shingle Jaccard of two docs is set by their block overlap only
+    rng = random.Random(0xB10C + t)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    return " ".join(
+        "".join(rng.choice(alpha) for _ in range(8)) for _ in range(60)
+    )
 
 
 @pytest.mark.slow
 def test_remap_stays_flat_over_100_merge_batches(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from humid_spark.functions import keys as keyfns
+
     blocks = [_block(t) for t in range(N_BATCHES + 2)]
     corpus_rows = [
         (f"http://g/d{t}", blocks[t] + " " + blocks[t + 1])
@@ -59,6 +74,24 @@ def test_remap_stays_flat_over_100_merge_batches(spark, tmp_path):
     # 101 singleton clusters before any bridge
     assert idx.clusters(spark).select("cluster").distinct().count() == N_BATCHES + 1
 
+    # Exact expected remap growth via a Python union-find replay over the
+    # REAL hashed doc ids: a bridge merges the components of D_t and
+    # D_{t+1}; the new root is min(root_a, root_b, bridge_id) ("cluster
+    # id = min member doc id ever seen"), so the batch loses ONE old root
+    # when an old root survives as the minimum and TWO when the bridge's
+    # own hashed id is the smallest — one remap row per lost root.
+    all_urls = [u for u, _ in corpus_rows] + [
+        f"http://g/z{t}" for t in range(N_BATCHES)
+    ]
+    id_of = {
+        r["url"]: r["id"]
+        for r in spark.createDataFrame([(u,) for u in all_urls], "url string")
+        .select("url", keyfns.doc_id_expr(F.col("url")).alias("id"))
+        .collect()
+    }
+    comp = {id_of[u]: id_of[u] for u, _ in corpus_rows}  # doc -> root
+    expected_lost = 0
+
     for t in range(N_BATCHES):
         bridge = _pages(
             spark,
@@ -69,17 +102,28 @@ def test_remap_stays_flat_over_100_merge_batches(spark, tmp_path):
         idx.append(res.survivors, f"b{t}", clusters=delta)
         res.release()
         delta.release()
-        # THE growth invariant: one row per lost root, every batch
-        assert idx.manifest.get("remap_rows", 0) == t + 1, (
-            t, idx.manifest.get("remap_rows")
+        ra = comp[id_of[f"http://g/d{t}"]]
+        rb = comp[id_of[f"http://g/d{t + 1}"]]
+        z = id_of[f"http://g/z{t}"]
+        new_root = min(ra, rb, z)
+        expected_lost += len({ra, rb} - {new_root})
+        for doc, r in comp.items():
+            if r in (ra, rb):
+                comp[doc] = new_root
+        comp[z] = new_root
+        # THE growth invariant: exactly one row per lost root, every batch
+        assert idx.manifest.get("remap_rows", 0) == expected_lost, (
+            t, idx.manifest.get("remap_rows"), expected_lost
         )
         if t % 20 == 19:
             rows = idx.remap(spark).collect()
-            assert len(rows) == t + 1
+            assert len(rows) == expected_lost
             old = {r["old_cluster"] for r in rows}
             new = {r["new_cluster"] for r in rows}
-            assert len(old) == t + 1  # no duplicated old keys
+            assert len(old) == expected_lost  # no duplicated old keys
             assert not (old & new)    # fully root-resolved, no chains
+            for r in rows:            # every row retargeted to the CURRENT
+                assert r["new_cluster"] == comp[r["old_cluster"]]  # root
 
     # all 101 corpus docs + 100 dropped bridges in ONE cluster
     final = {

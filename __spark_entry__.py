@@ -46,6 +46,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """`_t` + scale-adaptive spread (humid_spark.partitioning): the driver
+    parquet is a single row-group, so expression-heavy per-doc projections
+    chained narrowly onto the scan otherwise run on ONE core; on a
+    well-partitioned corpus the spread is a no-op.  Row values and every
+    aggregate downstream are partition-independent — results unchanged."""
+    from humid_spark.partitioning import spread
+
+    return spread(_t(spark, sf_dir, name))
+
+
 def _doc_keys(spark: SparkSession, sf_dir: str, n: int = N) -> DataFrame:
     """documents -> (doc_id, key, usable): the with_key_columns analog for
     the driver's documents table (no padding needed for the oracle pair —
@@ -148,7 +159,7 @@ def _sig_sql_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from humid_spark.functions.signatures import sql_parity_sig_table
 
     return sql_parity_sig_table(
-        _t(spark, sf_dir, "documents"), MH_K, MH_PERMS
+        _ts(spark, sf_dir, "documents"), MH_K, MH_PERMS
     ).drop("sh")
 
 
@@ -522,7 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def signatures_q(s, d):
         from humid_spark.functions.signatures import simhash_sql_spark
 
-        sim = _t(s, d, "documents").select(
+        sim = _ts(s, d, "documents").select(
             "doc_id", simhash_sql_spark("text", MH_K).alias("simhash16")
         )
         return _sig_sql_spark(s, d).join(sim, "doc_id")
@@ -998,7 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         t = F.col("text")
         nn = t.isNotNull()
-        return _t(s, d, "documents").select(
+        return _ts(s, d, "documents").select(
             "doc_id",
             ts.token_count(t).cast("long").alias("tokens"),
             ts.token_estimate(t).alias("token_est"),
@@ -1219,7 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_class_counts(s, d):
         from humid_spark.functions import textstats as ts
 
-        docs = _t(s, d, "documents")
+        docs = _ts(s, d, "documents")
         qc = (
             docs.groupBy(ts.quality_class(F.col("text")).alias("cls"))
             .agg(F.count(F.lit(1)).alias("n"))
@@ -1244,7 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from humid_spark.functions import textstats as ts
 
         return (
-            _t(s, d, "documents")
+            _ts(s, d, "documents")
             .groupBy(ts.fingerprint(F.col("text")).alias("fp"))
             .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_doc_id"))
         )
@@ -1264,7 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from humid_spark.functions.textstats import _tokens
         from humid_spark.operators.decontam import contamination_stats
 
-        docs = _t(s, d, "documents")
+        docs = _ts(s, d, "documents")
         prompt = F.concat_ws(
             " ", F.slice(_tokens(F.coalesce(F.col("text"), F.lit(""))),
                          11, 20)
@@ -1302,7 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.lit(".7 ssn 123-45-6789")),
             ).otherwise(F.lit("")),
         )
-        return _t(s, d, "documents").select(
+        return _ts(s, d, "documents").select(
             "doc_id", planted.alias("pt")
         ).select(
             "doc_id",

@@ -416,7 +416,14 @@ def image_ahashes(df: DataFrame, blob_col: str = "html",
     """(url, ahash) for every decodable blob >= 8x8; undecodable or tiny
     blobs yield null (callers filter — they cannot be perceptually
     hashed, only binary-exact-deduped)."""
-    cols = df.select(F.col(url_col).alias("url"), F.col(blob_col).alias("blob"))
+    from humid_spark.partitioning import spread
+
+    # adaptive: a 1-2 partition blob source (single-row-group file, a
+    # generator chain) would pin the decode to 1-2 cores; well-partitioned
+    # blob corpora pass through untouched and never shuffle
+    cols = spread(
+        df.select(F.col(url_col).alias("url"), F.col(blob_col).alias("blob"))
+    )
 
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

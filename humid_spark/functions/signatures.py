@@ -404,7 +404,14 @@ def minhash_map_in_arrow(df, shingle_k: int, num_perm: int,
 
     pass_schema = "".join(f", {c} long" for c in passthrough)
     schema = f"{id_col} long{pass_schema}, {out_col} array<int>"
-    return df.select(id_col, *passthrough, text_col).mapInArrow(gen, schema)
+    from humid_spark.partitioning import spread
+
+    # spread the NARROW projection before the UDF: a single-row-group
+    # input otherwise pins the whole signature stage to one core (the
+    # repartition only fires in that degenerate case — see partitioning)
+    return spread(df.select(id_col, *passthrough, text_col)).mapInArrow(
+        gen, schema
+    )
 
 
 def make_simhash_udf(shingle_k: int):

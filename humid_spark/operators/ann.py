@@ -61,19 +61,32 @@ def cosine_topk(
 
     Self-matches (qid == cid) are excluded.
     """
+    # Norms are hoisted to ONE evaluation per row on each side before the
+    # cross join: inlining _norm in the pair-level score expression makes
+    # Catalyst re-evaluate the O(dim) aggregate per PAIR (|corpus| times
+    # per query norm, |queries| times per corpus norm) — 3x the array
+    # arithmetic of the unavoidable per-pair dot product.  Same float ops
+    # in the same order per evaluation, so scores are bit-identical.
+    from humid_spark.partitioning import spread
+
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    )
+    ).withColumn("qnorm", _norm(F.col("qvec")))
+    # corpus side: the O(|corpus| * |queries| * dim) dot-product work runs
+    # in the corpus scan's partitions; spread a degenerate 1-partition
+    # scan so the arithmetic uses every core
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        )
+    ).withColumn("cnorm", _norm(F.col("cvec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("cid"))
         .withColumn(
             "score",
             dot_double(F.col("qvec"), F.col("cvec"))
-            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+            / (F.col("qnorm") * F.col("cnorm")),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))

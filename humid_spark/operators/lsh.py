@@ -172,27 +172,41 @@ def simhash_pairs(
       fingerprints (exact dups) should be collapsed upstream, exactly
       as run_web_pipeline collapses exact text dups before MinHash LSH.
 
-    With `track`, the pruned band membership is persisted (it feeds the
-    cold AND hot branches — without it the upstream signature UDF
-    recomputes per branch) and the handle appended for the caller to
-    release; without `track` nothing is persisted (never a persist the
-    caller can't release).
+    The narrow (doc, fingerprint) projection of `sims` is materialized
+    ONCE with an eager localCheckpoint before any fan-out: this operator
+    consumes its input from five branches (band sizing, cold self-join
+    x2, hot self-join x2), and every producer feeding it computes the
+    fingerprint with an expensive opaque pass (image/audio/video decode
+    mapInPandas, the SimHash text UDF, the embedding sketch) that Spark
+    would otherwise re-execute per branch — the round-7 baseline plan for
+    the image path carried 16 MapInPandas nodes for one logical decode.
+    The checkpoint is the guide-§8 lightweight proxy (16 bytes/row
+    regardless of payload width, scale-safe at any corpus size).  With
+    `track`, a release handle for those blocks (and the persisted pruned
+    band membership) is appended for the caller; without `track` the tiny
+    blocks live until session end.
     """
+    from humid_spark.operators.cc import CheckpointHandle
+
     width = sig_bits // n_bands
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col(sim_col), b * width)
+                F.shiftrightunsigned(F.col("sh"), b * width)
                 .bitwiseAND(F.lit((1 << width) - 1))
                 .alias("val"),
             )
             for b in range(n_bands)
         ]
     )
-    ex = sims.select(
-        F.col(id_col).alias("doc"), F.col(sim_col).alias("sh"),
-        F.explode(bands).alias("bb"),
+    base = sims.select(
+        F.col(id_col).alias("doc"), F.col(sim_col).alias("sh")
+    ).localCheckpoint(eager=True)
+    if track is not None:
+        track.append(CheckpointHandle(base))
+    ex = base.select(
+        "doc", "sh", F.explode(bands).alias("bb"),
     ).select("doc", "sh", "bb.band", "bb.val")
 
     salt_threshold = max(2, band_cap // 4)

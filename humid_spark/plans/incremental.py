@@ -527,25 +527,39 @@ class DedupIndex:
                 F.col("component").alias("new_cluster"),
             )
         )
+        # the composition below references new_remap TWICE (the retarget
+        # join and the union): persist the merges-sized table so its
+        # cluster-map-probe + CC-consume chain (several broadcast jobs)
+        # evaluates once per action, not once per reference
+        from pyspark import StorageLevel
+
+        new_remap = new_remap.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(new_remap)
         # compose with the current remap so the stored table stays fully
         # root-resolved (one broadcast join resolves any doc at read time,
-        # no chains): old entries whose target just merged follow it
-        old = self.remap(spark)
-        remap = (
-            old.alias("o")
-            .join(
-                new_remap.alias("n"),
-                F.col("o.new_cluster") == F.col("n.old_cluster"),
-                "left",
+        # no chains): old entries whose target just merged follow it.
+        # remap_rows == 0 (fresh or freshly-compacted index, the common
+        # case at snapshot 1) skips the compose outright — joining and
+        # unioning against a provably-empty table only adds exchanges.
+        if not self.manifest.get("remap_rows"):
+            remap = new_remap
+        else:
+            old = self.remap(spark)
+            remap = (
+                old.alias("o")
+                .join(
+                    new_remap.alias("n"),
+                    F.col("o.new_cluster") == F.col("n.old_cluster"),
+                    "left",
+                )
+                .select(
+                    F.col("o.old_cluster").alias("old_cluster"),
+                    F.coalesce(
+                        F.col("n.new_cluster"), F.col("o.new_cluster")
+                    ).alias("new_cluster"),
+                )
+                .unionByName(new_remap)
             )
-            .select(
-                F.col("o.old_cluster").alias("old_cluster"),
-                F.coalesce(
-                    F.col("n.new_cluster"), F.col("o.new_cluster")
-                ).alias("new_cluster"),
-            )
-            .unionByName(new_remap)
-        )
         return ClusterDelta(
             assignments=assignments,
             remap=remap,

@@ -157,13 +157,42 @@ def substring_dups(
         F.col(id_col).alias("dst"), F.col(text_col).alias("t_dst")
     )
     joined = cands.join(ta, "src").join(tb, "dst")
-    fwd = joined.filter(
-        (F.length("t_src") >= min_len) & F.contains(F.col("t_dst"), F.col("t_src"))
-    ).select(F.col("src").alias("inner_doc"), F.col("dst").alias("outer_doc"))
-    rev = joined.filter(
-        (F.length("t_dst") >= min_len) & F.contains(F.col("t_src"), F.col("t_dst"))
-    ).select(F.col("dst").alias("inner_doc"), F.col("src").alias("outer_doc"))
-    return fwd.union(rev)
+    # BOTH orientations in one pass over `joined`: a fwd/rev filter pair
+    # unioned afterwards references the joined subtree twice, and Spark
+    # re-executes the whole candidate chain (winnow index, self-join,
+    # share filter, two text joins) once per branch.  The explode emits
+    # the same multiset — a pair of equal texts still yields both rows.
+    fwd_ok = (
+        (F.length("t_src") >= min_len)
+        & F.contains(F.col("t_dst"), F.col("t_src"))
+    )
+    rev_ok = (
+        (F.length("t_dst") >= min_len)
+        & F.contains(F.col("t_src"), F.col("t_dst"))
+    )
+    pair = F.explode(
+        F.array(
+            F.when(
+                fwd_ok,
+                F.struct(
+                    F.col("src").alias("inner_doc"),
+                    F.col("dst").alias("outer_doc"),
+                ),
+            ),
+            F.when(
+                rev_ok,
+                F.struct(
+                    F.col("dst").alias("inner_doc"),
+                    F.col("src").alias("outer_doc"),
+                ),
+            ),
+        )
+    )
+    return (
+        joined.select(pair.alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("p.inner_doc", "p.outer_doc")
+    )
 
 
 def demoted_fingerprints(

@@ -123,4 +123,41 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.addPyFile(_package_zip())
+    _prewarm_python_workers(spark, cores)
     return spark
+
+
+def _prewarm_python_workers(spark: SparkSession, cores: int) -> None:
+    """Spin up the reusable Python worker pool once, at session creation.
+
+    The first Arrow/pandas-UDF stage of a session otherwise pays the full
+    worker cold start — `cores` interpreters each importing numpy, pandas,
+    pyarrow and the shipped humid_spark zip — inside whatever query
+    happens to run first (measured ~2-3s on local[32]).  Workers are
+    reused across stages (`spark.python.worker.reuse`, default on), so one
+    tiny task per core at startup moves that cost out of the query path
+    for every session consumer (CLI runs, bench, library drivers).
+
+    Opt out with SPARK_GRAFT_NO_PREWARM=1 (e.g. UDF-free sessions where
+    even the startup second matters)."""
+    if os.environ.get("SPARK_GRAFT_NO_PREWARM"):
+        return
+    try:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _warm(xs: pd.Series) -> pd.Series:
+            # touch the heavyweight imports a real signature stage needs
+            # so the reused workers hold them resident
+            import numpy  # noqa: F401
+            import pyarrow  # noqa: F401
+
+            from humid_spark.functions import signatures  # noqa: F401
+
+            return xs
+
+        n = max(cores, 1) if cores else 64
+        spark.range(n).repartition(n).select(_warm("id")).collect()
+    except Exception:  # noqa: BLE001 - prewarm is best-effort, never fatal
+        pass

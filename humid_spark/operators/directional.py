@@ -152,6 +152,8 @@ def directional_label_propagation(
         down.select(F.col("child").alias("key")).distinct(), "key", "left_anti"
     ).select("key", F.col("key").alias("label"))
 
+    from humid_spark.operators.cc import CheckpointHandle
+
     cur = seeds.localCheckpoint(eager=True)
     prev_fp = None
     for _ in range(max_rounds):
@@ -159,7 +161,12 @@ def directional_label_propagation(
             cur.select(F.col("key").alias("parent"), "label"), "parent"
         ).select(F.col("child").alias("key"), "label")
         nxt = cur.union(prop).groupBy("key").agg(F.min("label").alias("label"))
-        cur, fp = _observed_checkpoint(nxt)
+        nxt, fp = _observed_checkpoint(nxt)
+        # superseded round's blocks are dead once nxt is materialized —
+        # same storage discipline as connected_components' loop (a long
+        # propagation otherwise holds every round's label table at once)
+        CheckpointHandle(cur).unpersist()
+        cur = nxt
         if fp == prev_fp:
             break
         prev_fp = fp

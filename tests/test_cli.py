@@ -382,6 +382,17 @@ def test_cli_curate_bench_decontamination(spark, tmp_path):
         summary = json.loads(f.read().strip().splitlines()[-1])
     funnel = summary["outputs"]["funnel"]
     assert funnel["contaminated_removed"] >= 1
+    # funnel identities across the tiers: the dedup tier conserves its
+    # input (kept + removals == usable), and the pages entering dedup are
+    # what survived the quality/sample/decontamination tiers
+    assert funnel["total_usable"] == (
+        funnel["kept"] + funnel["near_removed"] + funnel["exact_removed"]
+    )
+    assert (
+        funnel["n_input"] - funnel["quality_removed"]
+        - funnel["sample_removed"] - funnel["contaminated_removed"]
+        >= funnel["total_usable"]
+    )
     urls = {
         r["url"] for r in
         spark.read.parquet(os.path.join(out, "pages_curated")).collect()

@@ -222,7 +222,12 @@ def run_web_pipeline(
                 k=cfg.winnow_k, w=cfg.winnow_w,
                 min_share=cfg.containment_min_share,
             )
-            edges = edges.union(cont.select("src", "dst")).distinct()
+            # no .distinct(): each generator already emits once-per-pair,
+            # and the only cross-source duplicates (a pair that is both a
+            # near-dup and a containment hit) are absorbed by the CC
+            # round-1 min aggregations — the distinct was one extra
+            # exchange of the full edge chain before CC's checkpoint
+            edges = edges.union(cont.select("src", "dst"))
         return edges
 
     # Components over unique-text representatives...
